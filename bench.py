@@ -1,0 +1,107 @@
+"""Benchmark harness.
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "docs_per_sec": ...}
+
+--scaling: re-runs the flagship quality-filter job at local[8] and
+local[32] in fresh subprocesses (new JVM each — config is immutable per
+JVM) and reports throughput at both plus scaling efficiency
+(BASELINE.md target >= 0.8). Efficiency = (thr_32/thr_8) / (32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = (
+    "keep_drop", "langid", "scrub", "doc_stats", "posting_stats",
+    "bigram_counts", "exact_dedup", "minhash_pairs", "simhash",
+    "pricing_summary", "top_customers", "sessionize", "events_hourly",
+    "asof_prev_error", "ann_topk",
+)
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def run_pipeline(spark, sf_dir: str) -> tuple[int, float]:
+    """The flagship: fused single-pass quality filter over documents."""
+    from ksana_corpus_builder_spark.plans.quality_pipeline import process_text_table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    n = process_text_table(docs).count()
+    return n, time.perf_counter() - t0
+
+
+def main() -> None:
+    if "--pipeline-only" in sys.argv:
+        # subprocess entry for --scaling: one fresh JVM, prints n,sec
+        from ksana_corpus_builder_spark.session import get_spark
+        spark = get_spark(cpus=CPUS)
+        run_pipeline(spark, SF_DIR)  # warm (JIT, parquet footer cache)
+        n, sec = run_pipeline(spark, SF_DIR)
+        print(json.dumps({"n": n, "sec": sec}))
+        return
+
+    if "--scaling" in sys.argv:
+        out = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                       SPARK_GRAFT_SF_DIR=SF_DIR)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
+                env=env, capture_output=True, text=True, check=True)
+            out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+        t8 = out[8]["n"] / out[8]["sec"]
+        t32 = out[32]["n"] / out[32]["sec"]
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32",
+            "value": round((t32 / t8) / 4.0, 4),
+            "unit": "ratio",
+            "docs_per_sec": {"local8": round(t8, 1), "local32": round(t32, 1)},
+            "sf": SF_DIR,
+        }))
+        return
+
+    from ksana_corpus_builder_spark.queries import QUERIES
+    from ksana_corpus_builder_spark.session import get_spark
+    spark = get_spark(cpus=CPUS)
+
+    # warm-up: JVM JIT + parquet footers (excluded from timings)
+    run_pipeline(spark, SF_DIR)
+
+    timings: dict[str, float] = {}
+    n_docs, pipe_sec = run_pipeline(spark, SF_DIR)
+    timings["quality_pipeline"] = round(pipe_sec, 3)
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _count(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "docs_per_sec_quality_filter": round(n_docs / pipe_sec, 1),
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Language identification — fastText-style linear scorer, vectorized.
+
+Public-knowledge design: a tiny stopword/character-class profile per
+language (the classic n-gram/function-word heuristic). Deterministic
+integer scoring so Spark / pandas / DuckDB agree exactly:
+
+    score(lang) = number of word tokens in PROFILES[lang]
+    cjk text: if CJK chars * 2 > total non-space chars -> 'zh'
+    winner   = argmax score, ties broken by language code ascending;
+               all-zero -> 'und'
+
+``lang_score`` = hits/n_words, emitted as an exact int ratio pair too.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "an", "of", "and", "to", "in", "is", "it", "that",
+           "for", "on", "with", "was", "this", "are", "be", "you", "not"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "du", "que",
+           "qui", "dans", "pour", "est", "pas", "vous", "au", "sur", "avec"),
+    "es": ("el", "la", "los", "las", "de", "y", "que", "en", "un", "una",
+           "por", "con", "para", "del", "se", "su", "es", "al", "como"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "den", "von", "zu", "im", "auf", "für", "sich", "des", "dem", "auch"),
+}
+LANGS = sorted(PROFILES)  # deterministic tie-break order
+
+_CJK_RE = r"[一-鿿]"
+_NONSPACE_RE = r"\S"
+
+
+def detect(texts: pd.Series) -> pd.DataFrame:
+    """-> DataFrame(lang_detected, lang_hits, n_words) — vectorized kernel."""
+    t = texts.fillna("")
+    words = t.str.lower().str.split()
+    n_words = words.str.len().fillna(0).astype(np.int64)
+
+    hits = {}
+    for lang in LANGS:
+        prof = frozenset(PROFILES[lang])
+        hits[lang] = words.map(lambda ws: sum(1 for w in ws if w in prof)).astype(np.int64)
+    hits_df = pd.DataFrame(hits, index=t.index)
+
+    cjk = t.str.count(_CJK_RE).astype(np.int64)
+    nonspace = t.str.count(_NONSPACE_RE).astype(np.int64)
+    is_cjk = cjk * 2 > nonspace
+
+    best = hits_df.idxmax(axis=1)            # ties -> first column = ascending code
+    best_hits = hits_df.max(axis=1)
+    lang = best.where(best_hits > 0, "und")
+    lang = lang.mask(is_cjk, "zh")
+    best_hits = best_hits.mask(is_cjk, cjk)
+
+    return pd.DataFrame({
+        "lang_detected": lang,
+        "lang_hits": best_hits.astype(np.int64),
+        "n_words": n_words,
+    }, index=t.index)

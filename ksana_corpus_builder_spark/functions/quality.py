@@ -1,0 +1,114 @@
+"""Gopher/C4-style heuristic quality rules — vectorized.
+
+Re-imagines the reference's per-document structural checks as corpus-quality
+rules: long lines (``index.js:239-243``), disordered pages
+(``index.js:251-268``), page gaps (``handlers.js:39-42``) become the
+max-line-length / repetition / structure rules of a web-text filter. Like the
+reference, rules REPORT rather than mutate (``longLines`` is collected, text
+untouched) — we emit a ``rules_hit`` array + boolean ``keep``.
+
+All rule predicates are INTEGER arithmetic (cross-multiplied ratios), so the
+Spark built-in-function path, the pandas kernel, and the DuckDB oracle agree
+bit-for-bit — no float thresholds anywhere.
+
+Stats computed per document (over whitespace word tokens):
+    n_chars, n_words, sum_word_len, n_distinct_words, stopword_hits,
+    max_word_len, n_lines, n_dup_lines, max_line_len, digit_chars
+
+Rules (name -> predicate on stats):
+    too_short         n_words < MIN_WORDS
+    too_long          n_words > MAX_WORDS
+    mean_word_len     sum_word_len < 3*n_words  OR  sum_word_len > 10*n_words
+    low_stopword      stopword_hits * 50 < n_words  (ratio < 0.02)
+    low_ttr           n_distinct_words * 10 < n_words * 3  (TTR < 0.3)
+    long_word         max_word_len > MAX_WORD_LEN
+    dup_lines         n_dup_lines * 2 > n_lines  (over half the lines repeat)
+    long_line         max_line_len > MAX_LINE_LEN  (reference maxchar check)
+    digit_heavy       digit_chars * 2 > n_chars
+keep = no rule hit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+MIN_WORDS = 20
+MAX_WORDS = 100_000
+MIN_MEAN_WL_NUM = 3     # mean word len < 3   <=>  sum < 3*n
+MAX_MEAN_WL_NUM = 10    # mean word len > 10  <=>  sum > 10*n
+MAX_WORD_LEN = 60
+MAX_LINE_LEN = 4000     # plays the reference addressPattern.maxchar role
+RULE_NAMES = [
+    "too_short", "too_long", "mean_word_len", "low_stopword", "low_ttr",
+    "long_word", "dup_lines", "long_line", "digit_heavy",
+]
+
+# English function words; the driver's synthetic documents vocabulary
+# includes 'the' and 'a'. Kept tiny + frozen: it is part of the contract.
+STOPWORDS = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "as", "with", "was", "at", "by", "be", "this", "are", "or",
+)
+
+
+def word_stats(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized per-doc stats. One str.split, then numpy over the lists."""
+    t = texts.fillna("")
+    words = t.str.split()
+    sw = frozenset(STOPWORDS)
+
+    def per_doc(ws: list[str]) -> tuple[int, int, int, int, int]:
+        if not ws:
+            return 0, 0, 0, 0, 0
+        lens = [len(w) for w in ws]
+        return (len(ws), sum(lens), len(set(ws)),
+                sum(1 for w in ws if w in sw), max(lens))
+
+    arr = np.array([per_doc(ws) for ws in words], dtype=np.int64)
+    if len(arr) == 0:
+        arr = arr.reshape(0, 5)
+    lines = t.str.split("\n")
+    n_lines = lines.str.len().fillna(0).astype(np.int64)
+    n_dup_lines = lines.map(
+        lambda ls: sum(c - 1 for c in pd.Series(ls).value_counts() if c > 1) if ls else 0
+    ).astype(np.int64)
+    max_line_len = lines.map(lambda ls: max((len(x) for x in ls), default=0)).astype(np.int64)
+    digit_chars = t.str.count(r"[0-9]").astype(np.int64)
+
+    return pd.DataFrame({
+        "n_chars": t.str.len().astype(np.int64),
+        "n_words": arr[:, 0],
+        "sum_word_len": arr[:, 1],
+        "n_distinct_words": arr[:, 2],
+        "stopword_hits": arr[:, 3],
+        "max_word_len": arr[:, 4],
+        "n_lines": n_lines.to_numpy(),
+        "n_dup_lines": n_dup_lines.to_numpy(),
+        "max_line_len": max_line_len.to_numpy(),
+        "digit_chars": digit_chars.to_numpy(),
+    }, index=texts.index)
+
+
+def rule_flags(stats: pd.DataFrame) -> pd.DataFrame:
+    """Integer-arithmetic rule predicates -> one bool column per rule."""
+    s = stats
+    return pd.DataFrame({
+        "too_short": s.n_words < MIN_WORDS,
+        "too_long": s.n_words > MAX_WORDS,
+        "mean_word_len": (s.sum_word_len < MIN_MEAN_WL_NUM * s.n_words)
+                         | (s.sum_word_len > MAX_MEAN_WL_NUM * s.n_words),
+        "low_stopword": s.stopword_hits * 50 < s.n_words,
+        "low_ttr": s.n_distinct_words * 10 < s.n_words * 3,
+        "long_word": s.max_word_len > MAX_WORD_LEN,
+        "dup_lines": s.n_dup_lines * 2 > s.n_lines,
+        "long_line": s.max_line_len > MAX_LINE_LEN,
+        "digit_heavy": s.digit_chars * 2 > s.n_chars,
+    }, index=stats.index)
+
+
+def rules_hit_and_keep(texts: pd.Series) -> pd.DataFrame:
+    """text -> (keep: bool, rules_hit: list[str]) — the oracle's label kernel."""
+    flags = rule_flags(word_stats(texts))
+    hits = flags.apply(lambda row: [n for n in RULE_NAMES if row[n]], axis=1)
+    return pd.DataFrame({"keep": ~flags.any(axis=1), "rules_hit": hits}, index=texts.index)

@@ -1,0 +1,98 @@
+"""Global sequential token position with reserved gaps — the reference's
+hardest distributed primitive.
+
+The reference keeps one mutable counter: +1 per indexed token
+(``inverted.js:72``), +1000 reserved per book (``inverted.js:3-6``), +500
+per article (``inverted.js:85-89``) — order-dependent, single-process.
+
+Spark re-imagination (two-level prefix-sum, fully deterministic under any
+partitioning because it orders by KEY, never by partition arrival):
+
+    1. per-document token counts (map-side partial agg -> small dim),
+    2. exclusive prefix sum of (count + GAP) over documents ordered by id,
+    3. broadcast-join the per-doc offset back onto the token table,
+       tpos = offset + pos.
+
+Step 2's window is ``Window.orderBy(doc_id)`` on the DIM table (one row per
+document). At 10^12 docs that dim no longer fits one windowing task; the
+same pattern then runs hierarchically: prefix-sum within range-partitioned
+chunks + a second prefix-sum over per-chunk totals (identical math, two
+passes) — provided by :func:`doc_offsets_hierarchical`.
+
+    tpos(doc_k, pos_p) = GAP * rank_k + sum(tokens of docs ranked < k) + pos_p
+    (rank_k is the 0-based rank of doc_k in id order)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DOC_GAP = 500  # reference putArticle gap (inverted.js:85-89)
+
+
+def doc_offsets(tokens: DataFrame, id_col: str = "doc_id",
+                gap: int = DOC_GAP) -> DataFrame:
+    """-> (doc_id, tpos_offset) via single-stage prefix sum (dim-table sized)."""
+    counts = tokens.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        id_col,
+        (F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+         + F.lit(gap) * (F.row_number().over(Window.orderBy(id_col)) - 1)
+         ).alias("tpos_offset"),
+    )
+
+
+def doc_offsets_hierarchical(tokens: DataFrame, id_col: str = "doc_id",
+                             gap: int = DOC_GAP, chunks: int = 64) -> DataFrame:
+    """Scale path: same offsets without a single global window.
+
+    Chunk docs by a deterministic range of id (here: pmod(hash-free id
+    bucketing via ntile is NOT deterministic — we use id ranges from an
+    aggregate), prefix-sum inside each chunk, then prefix-sum the chunk
+    totals (a `chunks`-row table) and broadcast-add.
+    """
+    counts = tokens.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    # deterministic chunking: global rank is what we ultimately need; use
+    # range partitioning on id, window WITHIN each chunk only.
+    chunked = counts.withColumn("chunk", F.abs(F.pmod(F.col(id_col), F.lit(chunks))))
+    # NOTE: pmod keeps determinism but interleaves ranks; for strict id-order
+    # semantics use range boundaries. For the gap pattern any deterministic
+    # total order works — we define the order as (chunk, id), documented.
+    w_in = (Window.partitionBy("chunk").orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    w_rn = Window.partitionBy("chunk").orderBy(id_col)
+    local = chunked.select(
+        id_col, "chunk",
+        F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)).alias("local_sum"),
+        (F.row_number().over(w_rn) - 1).alias("local_rank"),
+    )
+    chunk_tot = (chunked.groupBy("chunk")
+                 .agg(F.sum("n_tok").alias("tot"), F.count("*").alias("n_docs")))
+    w_ch = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    chunk_off = chunk_tot.select(
+        "chunk",
+        F.coalesce(F.sum("tot").over(w_ch), F.lit(0)).alias("chunk_sum"),
+        F.coalesce(F.sum("n_docs").over(w_ch), F.lit(0)).alias("chunk_docs"),
+    )
+    return (
+        local.join(F.broadcast(chunk_off), "chunk")
+        .select(
+            id_col,
+            (F.col("chunk_sum") + F.col("local_sum")
+             + F.lit(gap) * (F.col("chunk_docs") + F.col("local_rank"))
+             ).alias("tpos_offset"),
+        )
+    )
+
+
+def with_tpos(tokens: DataFrame, id_col: str = "doc_id",
+              pos_col: str = "pos", gap: int = DOC_GAP) -> DataFrame:
+    """tokens(doc_id, pos, token) -> + tpos column (global, gapped)."""
+    offs = doc_offsets(tokens, id_col, gap)
+    return (
+        tokens.join(F.broadcast(offs), id_col)
+        .withColumn("tpos", F.col("tpos_offset") + F.col(pos_col))
+        .drop("tpos_offset")
+    )

@@ -1,0 +1,173 @@
+"""The flagship end-to-end job: Common-Crawl-style pages -> labels +
+scrubbed text + per-partition lineage metrics.
+
+Re-imagines the reference's E1 lifecycle (``index.js:477-516``:
+config -> parse -> tokenize -> annotate -> finalize -> serialize) as one
+declarative DataFrame plan:
+
+    pages (url, warc_ts, html, text, lang)
+      -> repartition by url-hash (bucketing stand-in; salts skewed hosts)
+      -> ONE mapInPandas pass: extract + langid + quality rules +
+         perplexity + scrub           (all vectorized kernels, Arrow batches)
+      -> labels(url, keep, rules_hit, lang_detected, lang_score, perplexity)
+      -> scrubbed(url, text)          (byte-identical to the golden oracle)
+      -> metrics(partition_id, n_docs, n_kept, rule_hit_counts, scrub_stats)
+
+Design-for-scale notes:
+- the per-document stage is a SINGLE Python pass (one Arrow round-trip, not
+  five chained UDFs) — at 10^12 docs the Python boundary is the unit cost,
+  so we cross it once;
+- no driver-side collect anywhere; metrics aggregate per partition inside
+  the same pass (reference buildMeta, ``index.js:293-318``, becomes rows);
+- partitioning is explicit: ``repartition(spark_partition_id-free hash of
+  url)`` — on Iceberg this is a bucket(url, N) write spec; skewed hosts are
+  salted because the hash key is the full url, not the host;
+- resumability: callers filter the input by Iceberg snapshot id / or
+  anti-join against already-written urls (see streaming/incremental.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import langid as L
+from ..functions import quality as Q
+from ..functions import scrub as S
+from ..functions.perplexity import perplexity_series
+from ..functions.text import extract_text
+
+RESULT_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, "
+    "text string, keep boolean, rules_hit array<string>, "
+    "lang_detected string, lang_score double, perplexity double, "
+    + ", ".join(f"scrub_{n} long" for n in S.SCRUB_RULE_NAMES)
+)
+
+
+def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch through every kernel. Pure pandas — shared verbatim
+    with the golden oracle (oracle/golden.py), which is how byte-identity
+    and F1=1.0 are achieved by construction and verified by test."""
+    text = extract_text(pdf["html"])
+    labels = Q.rules_hit_and_keep(text)
+    lang = L.detect(text)
+    scrubbed = S.scrub_series(text)
+    out = pd.DataFrame({
+        "url": pdf["url"],
+        "warc_ts": pdf["warc_ts"],
+        "lang": pdf["lang"],
+        "text": scrubbed["text"],
+        "keep": labels["keep"],
+        "rules_hit": labels["rules_hit"],
+        "lang_detected": lang["lang_detected"],
+        "lang_score": (lang["lang_hits"] / lang["n_words"].clip(lower=1)).astype("float64"),
+        "perplexity": perplexity_series(text),
+    })
+    for n in S.SCRUB_RULE_NAMES:
+        out[f"scrub_{n}"] = scrubbed[f"scrub_{n}"]
+    return out
+
+
+def process(pages: DataFrame, buckets: int | None = None) -> DataFrame:
+    """pages -> full result DataFrame (labels + scrubbed + scrub counters).
+
+    ``buckets``: explicit url-hash partition count. None = keep the input
+    partitioning (already bucketed Iceberg input at scale).
+    """
+    df = pages
+    if buckets:
+        # url-hash bucketing: even distribution regardless of host skew
+        df = df.repartition(buckets, F.xxhash64("url"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _process_batch(pdf)
+
+    return df.mapInPandas(run, schema=RESULT_SCHEMA)
+
+
+TEXT_RESULT_SCHEMA = (
+    "doc_id long, text string, keep boolean, rules_hit array<string>, "
+    "lang_detected string, perplexity double, "
+    + ", ".join(f"scrub_{n} long" for n in S.SCRUB_RULE_NAMES)
+)
+
+
+def process_text_table(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Same fused single-pass kernel stage for a table whose text is already
+    extracted (the `documents` testdata shape). One Python boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            text = pdf[text_col].fillna("")
+            lab = Q.rules_hit_and_keep(text)
+            lang = L.detect(text)
+            sc = S.scrub_series(text)
+            out = pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "text": sc["text"],
+                "keep": lab["keep"],
+                "rules_hit": lab["rules_hit"],
+                "lang_detected": lang["lang_detected"],
+                "perplexity": perplexity_series(text),
+            })
+            for n in S.SCRUB_RULE_NAMES:
+                out[f"scrub_{n}"] = sc[f"scrub_{n}"]
+            yield out
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=TEXT_RESULT_SCHEMA)
+
+
+def labels(result: DataFrame) -> DataFrame:
+    return result.select("url", "keep", "rules_hit", "lang_detected",
+                         "lang_score", "perplexity")
+
+
+def scrubbed(result: DataFrame) -> DataFrame:
+    return result.select("url", "text")
+
+
+def metrics(result: DataFrame, input_snapshot_id: int = 0) -> DataFrame:
+    """Per-partition lineage rows — the Spark buildMeta. Aggregated
+    map-side (partial agg on spark_partition_id, no meaningful shuffle)."""
+    rule_counts = F.map_from_arrays(
+        F.array(*[F.lit(r) for r in Q.RULE_NAMES]),
+        F.array(*[
+            F.sum(F.when(F.array_contains("rules_hit", r), 1).otherwise(0))
+            for r in Q.RULE_NAMES
+        ]),
+    )
+    scrub_stats = F.map_from_arrays(
+        F.array(*[F.lit(n) for n in S.SCRUB_RULE_NAMES]),
+        F.array(*[F.sum(F.col(f"scrub_{n}")) for n in S.SCRUB_RULE_NAMES]),
+    )
+    return (
+        result.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.lit(input_snapshot_id).alias("input_snapshot_id"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            rule_counts.alias("rule_hit_counts"),
+            scrub_stats.alias("scrub_stats"),
+        )
+    )
+
+
+def write_outputs(result: DataFrame, out_dir: str, snapshot_id: int = 0) -> None:
+    """Persist the three output tables (parquet locally; Iceberg writeTo on a
+    cluster). result is written once and re-read for the cheap projections."""
+    result.write.mode("overwrite").parquet(f"{out_dir}/result")
+    spark = result.sparkSession
+    full = spark.read.parquet(f"{out_dir}/result")
+    labels(full).write.mode("overwrite").parquet(f"{out_dir}/labels")
+    scrubbed(full).write.mode("overwrite").parquet(f"{out_dir}/scrubbed")
+    metrics(full, snapshot_id).write.mode("overwrite").parquet(f"{out_dir}/metrics")

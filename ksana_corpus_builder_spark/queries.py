@@ -1,0 +1,679 @@
+"""The driver-facing query surface: every operator from SURVEY.md §2 as a
+(spark_fn, duckdb_oracle_sql) pair over the testdata tables.
+
+Cross-engine determinism rules (applied on BOTH sides):
+- integers everywhere possible; ratios cross-multiplied, never float
+  thresholds;
+- decimal-cast sums (exact) -> cast to double at the end (deterministic);
+- float expressions that must exist (cosine) rounded to 6 dp before
+  compare/top-k, with an id tie-break in every ORDER BY ... LIMIT;
+- every computed column aliased identically in Spark and SQL;
+- all integer outputs cast to long (DuckDB aggregates return BIGINT).
+
+SQL literals (stopword lists, thresholds, gap sizes) are generated from the
+same Python constants the Spark kernels use, so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import langid as LG
+from .functions import quality as Q
+from .functions import scrub as SC
+from .operators import ann, bigram, dedup, postings, rangejoin, tokens, tpos
+from .sources.tables import load
+
+# ---------------------------------------------------------------- helpers
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in Q.STOPWORDS) + "]"
+_TOKS_SQL = "list_filter(string_split({col}, ' '), x -> x <> '')"
+
+
+def _doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return tokens.word_tokens(load(spark, sf, "documents"))
+
+
+def _dec(col, scale: int = 4):
+    return F.col(col).cast(f"decimal(38,{scale})") if isinstance(col, str) else col.cast(f"decimal(38,{scale})")
+
+
+# ================================================================ documents
+# -- q02: per-document integer stats (SURVEY §2.5 A1/A8/A9 analogues)
+
+def q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    stop = F.array(*[F.lit(w) for w in Q.STOPWORDS])
+    lens = F.transform(toks, F.length)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.coalesce(F.aggregate(lens, F.lit(0).cast("long"),
+                               lambda a, x: a + x), F.lit(0)).alias("sum_word_len"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_words"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).cast("long")
+        .alias("stopword_hits"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("long").alias("max_word_len"),
+    )
+
+
+_SQL_DOC_STATS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks FROM documents)
+SELECT doc_id,
+  len(toks)::BIGINT AS n_words,
+  coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS sum_word_len,
+  len(list_distinct(toks))::BIGINT AS n_distinct_words,
+  len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))::BIGINT AS stopword_hits,
+  coalesce(list_max(list_transform(toks, x -> length(x))), 0)::BIGINT AS max_word_len
+FROM t
+"""
+
+# -- q03: keep/drop labels via the PRODUCTION pandas kernel (north rule),
+#    oracle recomputes every rule in pure SQL integer arithmetic.
+
+_LABEL_SCHEMA = "doc_id long, keep boolean, rules_hit_str string"
+
+
+def q_keep_drop(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lab = Q.rules_hit_and_keep(pdf["text"])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "keep": lab["keep"],
+                "rules_hit_str": lab["rules_hit"].map(",".join),
+            })
+
+    return d.mapInPandas(run, schema=_LABEL_SCHEMA)
+
+
+_SQL_KEEP_DROP = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         {_TOKS_SQL.format(col='text')} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    length(text)::BIGINT AS n_chars,
+    len(toks)::BIGINT AS n_words,
+    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS sum_word_len,
+    len(list_distinct(toks))::BIGINT AS n_distinct_words,
+    len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))::BIGINT AS stopword_hits,
+    coalesce(list_max(list_transform(toks, x -> length(x))), 0)::BIGINT AS max_word_len,
+    len(lines)::BIGINT AS n_lines,
+    (len(lines) - len(list_distinct(lines)))::BIGINT AS n_dup_lines,
+    coalesce(list_max(list_transform(lines, x -> length(x))), 0)::BIGINT AS max_line_len,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS digit_chars
+  FROM t
+), r AS (
+  SELECT doc_id,
+    (n_words < {Q.MIN_WORDS}) AS too_short,
+    (n_words > {Q.MAX_WORDS}) AS too_long,
+    (sum_word_len < {Q.MIN_MEAN_WL_NUM} * n_words
+     OR sum_word_len > {Q.MAX_MEAN_WL_NUM} * n_words) AS mean_word_len,
+    (stopword_hits * 50 < n_words) AS low_stopword,
+    (n_distinct_words * 10 < n_words * 3) AS low_ttr,
+    (max_word_len > {Q.MAX_WORD_LEN}) AS long_word,
+    (n_dup_lines * 2 > n_lines) AS dup_lines,
+    (max_line_len > {Q.MAX_LINE_LEN}) AS long_line,
+    (digit_chars * 2 > n_chars) AS digit_heavy
+  FROM s
+)
+SELECT doc_id,
+  NOT (too_short OR too_long OR mean_word_len OR low_stopword OR low_ttr
+       OR long_word OR dup_lines OR long_line OR digit_heavy) AS keep,
+  ltrim(
+    (CASE WHEN too_short THEN ',too_short' ELSE '' END) ||
+    (CASE WHEN too_long THEN ',too_long' ELSE '' END) ||
+    (CASE WHEN mean_word_len THEN ',mean_word_len' ELSE '' END) ||
+    (CASE WHEN low_stopword THEN ',low_stopword' ELSE '' END) ||
+    (CASE WHEN low_ttr THEN ',low_ttr' ELSE '' END) ||
+    (CASE WHEN long_word THEN ',long_word' ELSE '' END) ||
+    (CASE WHEN dup_lines THEN ',dup_lines' ELSE '' END) ||
+    (CASE WHEN long_line THEN ',long_line' ELSE '' END) ||
+    (CASE WHEN digit_heavy THEN ',digit_heavy' ELSE '' END), ',') AS rules_hit_str
+FROM r
+"""
+
+# -- q19: language ID via the production kernel; oracle = same integer
+#    scoring in SQL (argmax, ties -> ascending lang code, zero -> 'und').
+
+_LANGID_SCHEMA = "doc_id long, lang_detected string, lang_hits long, n_words long"
+
+
+def q_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            det = LG.detect(pdf["text"])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "lang_detected": det["lang_detected"],
+                "lang_hits": det["lang_hits"],
+                "n_words": det["n_words"],
+            })
+
+    return d.mapInPandas(run, schema=_LANGID_SCHEMA)
+
+
+def _langid_sql() -> str:
+    prof_sql = {
+        lang: "[" + ", ".join(f"'{w}'" for w in LG.PROFILES[lang]) + "]"
+        for lang in LG.LANGS
+    }
+    hits = ",\n    ".join(
+        f"len(list_filter(toks, x -> list_contains({prof_sql[lg]}, x)))::BIGINT AS h_{lg}"
+        for lg in LG.LANGS
+    )
+    # argmax with ties -> first in ascending code order (de,en,es,fr)
+    order = LG.LANGS
+    pick = "CASE "
+    for i, lg in enumerate(order):
+        conds = [f"h_{lg} >= h_{other}" for other in order[i + 1:]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        pick += f"WHEN {cond} THEN struct_pack(l := '{lg}', h := h_{lg}) "
+    pick += "END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL.format(col='lower(text)')} AS toks,
+    length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))::BIGINT AS cjk,
+    length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS nonspace
+  FROM documents
+), h AS (
+  SELECT doc_id, toks, cjk, nonspace,
+    {hits}
+  FROM t
+), p AS (
+  SELECT doc_id, toks, cjk, nonspace, ({pick}) AS best FROM h
+)
+SELECT doc_id,
+  CASE WHEN cjk * 2 > nonspace THEN 'zh'
+       WHEN best.h > 0 THEN best.l ELSE 'und' END AS lang_detected,
+  (CASE WHEN cjk * 2 > nonspace THEN cjk ELSE best.h END)::BIGINT AS lang_hits,
+  len(toks)::BIGINT AS n_words
+FROM p
+"""
+
+
+# -- q20: scrub via production kernel; oracle mirrors the RE2-compatible
+#    rules (the lookbehind phone rule cannot fire on this vocabulary-only
+#    corpus — asserted in tests, not assumed).
+
+_SCRUB_SCHEMA = ("doc_id long, scrubbed_len long, n_hits long")
+
+
+def q_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sc = SC.scrub_series(pdf["text"])
+            hits = sum(sc[f"scrub_{n}"] for n in SC.SCRUB_RULE_NAMES)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "scrubbed_len": sc["text"].str.len().astype("int64"),
+                "n_hits": hits.astype("int64"),
+            })
+
+    return d.mapInPandas(run, schema=_SCRUB_SCHEMA)
+
+
+def _scrub_sql() -> str:
+    # RE2 versions of the rule patterns, applied in the same order
+    steps = [
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        ("ipv4", r"\b(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\.){3}"
+                 r"(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\b", "<IP>"),
+        ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+        ("cc", r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b", "<CC>"),
+        ("tox", r"(?i)\b(?:badword|slurword|vileword)\b", "<TOX>"),
+    ]
+    expr, hit_terms = "text", []
+    for name, pat, repl in steps:
+        pat_sql = pat.replace("\\", "\\\\").replace("'", "''")
+        hit_terms.append(f"len(regexp_extract_all({expr}, '{pat_sql}'))")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+  length({expr})::BIGINT AS scrubbed_len,
+  ({' + '.join(hit_terms)})::BIGINT AS n_hits
+FROM documents
+"""
+
+
+# -- q04: global token counts (A1/A2 unigram analogue)
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return (_doc_tokens(spark, sf).groupBy("token")
+            .agg(F.count("*").alias("cnt")).where(F.col("cnt") >= 10))
+
+
+_SQL_TOKEN_COUNTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t)
+SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token HAVING count(*) >= 10
+"""
+
+# -- q05: posting stats over globally gapped tpos (W1 + A5/A6, the hard one)
+
+def q_posting_stats(spark: SparkSession, sf: str) -> DataFrame:
+    t = tpos.with_tpos(_doc_tokens(spark, sf))
+    return postings.posting_stats(t)
+
+
+_SQL_POSTING_STATS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS pos FROM t),
+docs AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+offs AS (SELECT doc_id,
+  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+  + {tpos.DOC_GAP} * (row_number() OVER (ORDER BY doc_id) - 1) AS off
+  FROM docs),
+wt AS (SELECT tok.doc_id, token, off + pos AS tpos
+       FROM tok JOIN offs USING (doc_id))
+SELECT token, count(*)::BIGINT AS posting_length,
+       min(tpos)::BIGINT AS min_tpos, max(tpos)::BIGINT AS max_tpos
+FROM wt GROUP BY token
+"""
+
+# -- q06: bigram adjacency counts (J2/A2, genbigram two-job pattern)
+
+_BIGRAM_MIN = 5
+
+
+def q_bigram_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return bigram.bigram_counts(_doc_tokens(spark, sf), minoccur=_BIGRAM_MIN)
+
+
+_SQL_BIGRAM_COUNTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS pos FROM t),
+pairs AS (
+  SELECT doc_id, token,
+         lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tok)
+SELECT prev || ' ' || token AS bigram, count(*)::BIGINT AS cnt
+FROM pairs WHERE prev IS NOT NULL
+GROUP BY 1 HAVING count(*) > {_BIGRAM_MIN}
+"""
+
+# -- q07: exact dedup hash groups (hash computed map-side)
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (d.select(F.md5("text").alias("text_hash"))
+            .groupBy("text_hash").agg(F.count("*").alias("n_docs")))
+
+
+_SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1
+"""
+
+# -- q08: n-gram Jaccard near-dup candidate pairs (integer threshold)
+
+_JAC_NUM, _JAC_DEN = 1, 5  # jaccard >= 0.2 (tuned so sf0.01 yields rows)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (dedup.ngram_jaccard_pairs(d, n=3, threshold_num=_JAC_NUM,
+                                      threshold_den=_JAC_DEN)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    F.col("inter").cast("long").alias("inter"),
+                    F.col("uni").cast("long").alias("uni")))
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, inter::BIGINT AS inter,
+       (sa.sz + sb.sz - inter)::BIGINT AS uni
+FROM co JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE inter * {_JAC_DEN} >= (sa.sz + sb.sz - inter) * {_JAC_NUM}
+"""
+
+# ================================================================ events
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")  # ntz -> ltz is identity in UTC
+    gap = sec - F.lag(sec).over(w)
+    x = e.withColumn("new_s", (gap.isNull() | (gap > 1800)).cast("long"))
+    return x.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("new_s").alias("n_sessions"))
+
+
+_SQL_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR date_diff('second',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events, sum(new_s)::BIGINT AS n_sessions
+FROM x GROUP BY user_id
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (e.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+                      "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("value", 2)).cast("double").alias("sum_value")))
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum(k).alias("sum_k")))
+
+
+_SQL_EVENTS_JSON = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k
+FROM events GROUP BY 1
+"""
+
+
+def q_asof_prev_error(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    dims = (e.where(F.col("event_type") == "error")
+            .select("user_id", "ts", F.col("event_id").alias("prev_error_id")))
+    out = rangejoin.asof_join_window(
+        e, dims, on="user_id", fact_key="ts", dim_key="ts",
+        value_cols=["prev_error_id"])
+    return out.select("event_id", "prev_error_id")
+
+
+_SQL_ASOF_PREV_ERROR = """
+SELECT event_id,
+  last_value(CASE WHEN event_type = 'error' THEN event_id END IGNORE NULLS)
+    OVER (PARTITION BY user_id
+          ORDER BY ts, CASE WHEN event_type = 'error' THEN 0 ELSE 1 END
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_error_id
+FROM events
+"""
+
+
+def q_field_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """A10: long-format store -> sorted struct-of-arrays (string-joined for
+    cross-engine hash stability)."""
+    e = load(spark, sf, "events")
+    return (e.groupBy("user_id", "event_type")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list("event_id")))
+                 .alias("ids_str"),
+                 F.count("*").alias("n")))
+
+
+_SQL_FIELD_PIVOT = """
+SELECT user_id, event_type,
+       string_agg(event_id, ',' ORDER BY event_id) AS ids_str,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+"""
+
+# ================================================================ tpc-h-ish
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(38,4)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(38,4)") + _dec("l_tax"))
+    return (l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order")))
+
+
+_SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+           * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+           * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
+           * (CAST(1 AS DECIMAL(38,4)) + CAST(l_tax AS DECIMAL(38,4)))) AS DOUBLE)
+    AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_qty,
+  count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    n = load(spark, sf, "nation")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.sum(_dec("o_totalprice", 2)).alias("revenue_d"),
+                F.count("*").alias("n_orders")))
+    j = (rev.join(c, rev.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (j.select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                     "c_name", "n_name",
+                     F.col("revenue_d").cast("double").alias("revenue"),
+                     "n_orders")
+            .orderBy(F.desc("revenue_d"), "c_custkey").limit(10))
+
+
+_SQL_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,2))) AS revenue_d,
+         count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1)
+SELECT c_custkey::BIGINT AS c_custkey, c_name, n_name,
+       CAST(revenue_d AS DOUBLE) AS revenue, n_orders
+FROM rev JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_d DESC, c_custkey LIMIT 10
+"""
+
+
+def q_region_agg(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return j.groupBy("r_name").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(_dec("c_acctbal", 2)).cast("double").alias("sum_acctbal"))
+
+
+_SQL_REGION_AGG = """
+SELECT r_name, count(*)::BIGINT AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_cube_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    return (l.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("l_quantity")).cast("double").alias("sum_qty")))
+
+
+_SQL_CUBE_LINEITEM = """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_top_orders_per_cust(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select(F.col("o_custkey").cast("long").alias("o_custkey"),
+                    "o_orderkey", F.col("rn").cast("long").alias("rn")))
+
+
+_SQL_TOP_ORDERS_PER_CUST = """
+SELECT o_custkey::BIGINT AS o_custkey, o_orderkey,
+       rn::BIGINT AS rn
+FROM (SELECT o_custkey, o_orderkey,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    en = d.where(F.col("lang") == "en").select("source").distinct()
+    zh = d.where(F.col("lang") == "zh").select("source").distinct()
+    return en.exceptAll(zh)
+
+
+_SQL_SET_OPS = """
+SELECT DISTINCT source FROM documents WHERE lang = 'en'
+EXCEPT
+SELECT DISTINCT source FROM documents WHERE lang = 'zh'
+"""
+
+# ================================================================ embeddings
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    j = e.crossJoin(F.broadcast(q))
+    sim = F.round(ann.cosine(F.col("embedding"), F.col("qe")), 6)
+    return (j.select("vec_id", sim.alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id").limit(10))
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+p AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(qe)::DOUBLE AS y
+      FROM embeddings, q),
+s AS (SELECT vec_id,
+        round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cos_sim
+      FROM p GROUP BY vec_id)
+SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+# ================================================================ rows-only
+# (not SQL-expressible: xxhash64-based sketches, the pages pipeline)
+
+def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, k=32, bands=8)
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash64(load(spark, sf, "documents"))
+
+
+def q_pages_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end north-rule pipeline on deterministic synthetic pages."""
+    from .plans import quality_pipeline as qp
+    from .sources.pages import pages_df
+    n = 120 if "0.001" in sf else 400
+    return qp.labels(qp.process(pages_df(spark, n), buckets=8))
+
+
+def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    qv = [row[0] for row in
+          e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return ann.lsh_topk(e, qv, k=10, nbits=6)
+
+# ================================================================ registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_stats": q_doc_stats,
+    "keep_drop": q_keep_drop,
+    "langid": q_langid,
+    "scrub": q_scrub,
+    "token_counts": q_token_counts,
+    "posting_stats": q_posting_stats,
+    "bigram_counts": q_bigram_counts,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "sessionize": q_sessionize,
+    "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
+    "asof_prev_error": q_asof_prev_error,
+    "field_pivot": q_field_pivot,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "region_agg": q_region_agg,
+    "cube_lineitem": q_cube_lineitem,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "set_ops": q_set_ops,
+    "ann_topk": q_ann_topk,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "pages_pipeline": q_pages_pipeline,
+    "lsh_topk": q_lsh_topk,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_stats": _SQL_DOC_STATS,
+    "keep_drop": _SQL_KEEP_DROP,
+    "langid": _langid_sql(),
+    "scrub": _scrub_sql(),
+    "token_counts": _SQL_TOKEN_COUNTS,
+    "posting_stats": _SQL_POSTING_STATS,
+    "bigram_counts": _SQL_BIGRAM_COUNTS,
+    "exact_dedup": _SQL_EXACT_DEDUP,
+    "ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "sessionize": _SQL_SESSIONIZE,
+    "events_hourly": _SQL_EVENTS_HOURLY,
+    "events_json": _SQL_EVENTS_JSON,
+    "asof_prev_error": _SQL_ASOF_PREV_ERROR,
+    "field_pivot": _SQL_FIELD_PIVOT,
+    "pricing_summary": _SQL_PRICING_SUMMARY,
+    "top_customers": _SQL_TOP_CUSTOMERS,
+    "region_agg": _SQL_REGION_AGG,
+    "cube_lineitem": _SQL_CUBE_LINEITEM,
+    "top_orders_per_cust": _SQL_TOP_ORDERS_PER_CUST,
+    "set_ops": _SQL_SET_OPS,
+    "ann_topk": _SQL_ANN_TOPK,
+    # minhash_pairs / simhash / pages_pipeline / lsh_topk: rows-only
+}

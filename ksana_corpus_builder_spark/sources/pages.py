@@ -1,0 +1,122 @@
+"""Deterministic synthetic `pages` table — the north-rule input shape.
+
+Schema (BASELINE.json input_hint):
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Pages are generated from a fixed seed with multilingual bodies, HTML
+wrapping with the markup edge cases catalogued in FIXTURES.md §3 (CRLF/BOM,
+script/style noise, malformed tags, entities), PII-bearing strings, toxicity
+terms, repetitive/duplicated text, and skewed hosts (a few hosts own most
+urls — exercises salting). `text` is defined as extract_text(html), so the
+byte-identity invariant is exact by construction.
+
+Generation is pandas-side for fixtures (small) and distributed via
+``spark.range(n).mapInPandas`` for bench-scale tables — same kernel, so the
+two agree row-for-row at any scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ..functions.text import extract_text
+
+_WORDS = {
+    "en": ("the quick brown fox jumps over a lazy dog and the river runs to "
+           "the sea with a light that is soft in the morning").split(),
+    "fr": ("le chat noir dort sur la table et les enfants jouent dans le "
+           "jardin avec une balle qui est pour vous").split(),
+    "es": ("el perro corre por la calle y los ninos cantan una cancion en "
+           "la plaza con su madre que es de aqui").split(),
+    "de": ("der hund lauft durch die stadt und die kinder singen ein lied "
+           "auf dem platz mit der mutter das ist auch gut").split(),
+    "zh": list("天地玄黃宇宙洪荒日月盈昃辰宿列張寒來暑往秋收冬藏閏餘成歲律呂調陽"),
+}
+_LANGS = ("en", "fr", "es", "de", "zh")
+# skewed host distribution: host0 owns ~50% of urls (north-rule skew case)
+_HOSTS = ["bighost.example"] * 10 + [f"host{i}.example" for i in range(1, 11)]
+
+_PII_SNIPPETS = (
+    "contact me at john.doe@example.com for details",
+    "call 555-867-5309 or (212) 555-0142 today",
+    "server at 192.168.10.25 responded",
+    "ssn 123-45-6789 leaked",
+    "card 4111 1111 1111 1111 declined",
+    "this badword sentence has a slurword in it",
+)
+
+
+def _rng(seed: int) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+def make_pages_pdf(n: int, seed: int = 42, start_id: int = 0) -> pd.DataFrame:
+    """Deterministic batch of pages [start_id, start_id+n). Safe to shard:
+    row content depends only on (seed, row id)."""
+    rows = []
+    base_ts = dt.datetime(2024, 3, 1)
+    for i in range(start_id, start_id + n):
+        g = _rng(seed * 1_000_003 + i)
+        lang = _LANGS[int(g.integers(0, len(_LANGS)))]
+        words = _WORDS[lang]
+        n_words = int(g.integers(5, 400))
+        sep = "" if lang == "zh" else " "
+        body_words = [words[int(g.integers(0, len(words)))] for _ in range(n_words)]
+        # quality hazards
+        if g.random() < 0.15:  # repetitive page
+            body_words = body_words[: max(3, n_words // 10)] * 10
+        if g.random() < 0.10:  # digit heavy
+            body_words += [str(int(g.integers(0, 10 ** 9))) for _ in range(n_words)]
+        if g.random() < 0.08:  # absurd word
+            body_words.append("x" * 80)
+        body = sep.join(body_words)
+        if g.random() < 0.25:  # PII / toxicity
+            body += " " + _PII_SNIPPETS[int(g.integers(0, len(_PII_SNIPPETS)))]
+        paras = [body[j: j + 180] for j in range(0, len(body), 180)]
+        html = "<html><head><title>p</title><style>.x{color:red}</style>"
+        html += "<script>var x=1;</script></head><body>"
+        if g.random() < 0.2:
+            html += "<!-- comment\nblock -->"
+        for p in paras:
+            html += f"<p>{p}</p>"
+        if g.random() < 0.15:
+            html += "<b></c>"  # malformed tag (reference test1pre.xml case)
+        html += "&amp;done</body></html>"
+        raw = html.encode("utf-8")
+        if g.random() < 0.1:
+            raw = b"\xef\xbb\xbf" + raw.replace(b"\n", b"\r\n")  # BOM + CRLF
+        host = _HOSTS[int(g.integers(0, len(_HOSTS)))]
+        url = f"https://{host}/{hashlib.sha1(str(i).encode()).hexdigest()[:12]}"
+        ts = base_ts + dt.timedelta(seconds=int(g.integers(0, 86400 * 30)))
+        claimed = lang if g.random() < 0.9 else _LANGS[int(g.integers(0, len(_LANGS)))]
+        rows.append((url, ts, raw, claimed))
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "lang"])
+    pdf["text"] = extract_text(pdf["html"])
+    return pdf[["url", "warc_ts", "html", "text", "lang"]]
+
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def pages_df(spark, n: int, seed: int = 42, slices: int | None = None):
+    """Distributed deterministic generation: spark.range -> mapInPandas with
+    the same per-id kernel — content identical to make_pages_pdf at any
+    parallelism (content is a pure function of (seed, id))."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    def gen(batches):
+        for b in batches:
+            ids = b["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            # ids are contiguous per-slice for spark.range
+            out = [make_pages_pdf(1, seed=seed, start_id=int(i)) for i in ids]
+            yield pd.concat(out, ignore_index=True)
+
+    rng = spark.range(0, n, 1, slices or spark.sparkContext.defaultParallelism)
+    return rng.select(F.col("id")).mapInPandas(gen, schema=PAGES_SCHEMA)

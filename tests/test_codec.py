@@ -1,0 +1,54 @@
+"""kpos codec — pack/unpack/stringify round-trips (reference semantics:
+Ksanapos pattern arithmetic inverted.js:11-14; human format evidence
+test-parsepre.js:13-14 '1p3.0102-04')."""
+
+from __future__ import annotations
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from ksana_corpus_builder_spark import codec
+
+
+@given(st.integers(1, 100), st.integers(0, 1000), st.integers(0, 99), st.integers(0, 99))
+def test_pack_unpack_roundtrip(book, page, line, ch):
+    k = codec.pack(book, page, line, ch)
+    assert codec.unpack(k) == (book, page, line, ch)
+
+
+@given(st.integers(1, 100), st.integers(0, 1000), st.integers(0, 99), st.integers(0, 99))
+def test_ordering_is_lexicographic(book, page, line, ch):
+    k = codec.pack(book, page, line, ch)
+    assert codec.pack(book, page, line, ch + 1) > k
+    assert codec.pack(book, page, line + 1, 0) > k
+    assert codec.pack(book + 1, 0, 0, 0) > k
+
+
+def test_stringify_reference_format():
+    # the reference round-trip: range on book 1 page 3 line 1 chars 2-4
+    # stringifies as "1p3.0102-04" (test-parsepre.js:13-14)
+    start = codec.pack(1, 3, 1, 1)  # 0-based char 1 -> display 02
+    end = codec.pack(1, 3, 1, 3)    # 0-based char 3 -> display 04
+    assert codec.stringify(start) == "1p3.0102"
+    assert codec.stringify_range(start, end) == "1p3.0102-04"
+    assert codec.parse("1p3.0102") == start
+    assert codec.parse_range("1p3.0102-04") == (start, end)
+
+
+def test_book_helpers():
+    k = codec.pack(5, 7, 3, 9)
+    assert codec.book_of(k) == 5
+    assert codec.unpack(codec.book_start_pos(k)) == (5, 0, 0, 0)
+    assert codec.unpack(codec.next_line_start(k)) == (5, 7, 4, 0)
+
+
+def test_spark_column_codec(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(2, 10, 5, 7)], "b int, p int, l int, c int")
+    k = df.select(codec.pack_col(F.col("b"), F.col("p"), F.col("l"), F.col("c"))
+                  .alias("k"))
+    got = k.collect()[0].k
+    assert got == codec.pack(2, 10, 5, 7)
+    u = k.select(*[v.alias(n) for n, v in codec.unpack_cols(F.col("k")).items()])
+    row = u.collect()[0]
+    assert (row.book, row.page, row.line, row.ch) == (2, 10, 5, 7)

@@ -1,0 +1,33 @@
+"""Vectorization discipline (SURVEY §7 hard-part 5, BASELINE input_hint):
+zero per-row Python UDFs in the engine — only pandas/Arrow batch kernels
+(mapInPandas / pandas_udf) are allowed."""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "ksana_corpus_builder_spark"
+
+# F.udf( / @udf — the row-at-a-time API
+_SCALAR_UDF = re.compile(r"(?<![a-zA-Z_])udf\s*\(|@udf\b")
+
+
+def test_no_row_at_a_time_udf():
+    offenders = []
+    for p in PKG.rglob("*.py"):
+        src = p.read_text()
+        if _SCALAR_UDF.search(src):
+            offenders.append(str(p))
+    assert not offenders, f"row-at-a-time UDFs found in {offenders}"
+
+
+def test_no_collect_in_operators():
+    # operators must stay distributed; driver-side collect is allowed only
+    # in queries.py (query parameters) and tools/tests
+    offenders = []
+    for sub in ("operators", "plans", "functions"):
+        for p in (PKG / sub).rglob("*.py"):
+            if ".collect()" in p.read_text():
+                offenders.append(str(p))
+    assert not offenders, f"driver-side collect in {offenders}"

@@ -1,0 +1,154 @@
+"""Operator-level tests: tpos gaps, bigram adjacency, as-of join, dedup
+recall, ANN recall, postings."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ksana_corpus_builder_spark.operators import ann, bigram, dedup, postings, rangejoin, tokens, tpos
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_word_tokens_positions(spark):
+    d = _docs(spark, [(1, "a b c"), (2, "x y")])
+    t = tokens.word_tokens(d).orderBy("doc_id", "pos").collect()
+    assert [(r.doc_id, r.pos, r.token) for r in t] == [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 1, "x"), (2, 2, "y")]
+
+
+def test_tpos_gap_semantics(spark):
+    # doc k offset = 500*rank + cumulative tokens of earlier docs
+    d = _docs(spark, [(1, "a b c"), (2, "x y"), (3, "q")])
+    t = tpos.with_tpos(tokens.word_tokens(d)).orderBy("doc_id", "pos").collect()
+    got = [(r.doc_id, r.tpos) for r in t]
+    assert got == [(1, 1), (1, 2), (1, 3), (2, 504), (2, 505), (3, 1006)]
+
+
+def test_tpos_hierarchical_chunks1_matches(spark):
+    d = _docs(spark, [(i, "w " * (i + 1)) for i in range(10)])
+    tk = tokens.word_tokens(d)
+    a = tpos.doc_offsets(tk).orderBy("doc_id").collect()
+    b = tpos.doc_offsets_hierarchical(tk, chunks=1).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.tpos_offset) for r in a] == [(r.doc_id, r.tpos_offset) for r in b]
+
+
+def test_tpos_hierarchical_valid_gaps(spark):
+    # any deterministic total order is fine; offsets must be distinct and
+    # leave >= gap + n_tok room between consecutive docs
+    d = _docs(spark, [(i, "w " * 5) for i in range(20)])
+    tk = tokens.word_tokens(d)
+    offs = sorted(r.tpos_offset for r in tpos.doc_offsets_hierarchical(tk, chunks=4).collect())
+    assert len(set(offs)) == 20
+    assert all(b - a >= 505 for a, b in zip(offs, offs[1:]))
+
+
+def test_posting_lists_sorted(spark):
+    d = _docs(spark, [(1, "b a b"), (2, "a c")])
+    t = tpos.with_tpos(tokens.word_tokens(d))
+    pl = postings.posting_lists(t).collect()
+    assert [r.token for r in pl] == ["a", "b", "c"]
+    by_tok = {r.token: (list(r.postings), r.posting_length) for r in pl}
+    assert by_tok["a"] == ([2, 504], 2)
+    assert by_tok["b"] == ([1, 3], 2)
+
+
+def test_salted_postings_match_plain(spark):
+    d = _docs(spark, [(i, "hot hot hot cold") for i in range(8)])
+    t = tpos.with_tpos(tokens.word_tokens(d))
+    plain = {r.token: list(r.postings) for r in postings.posting_lists(t).collect()}
+    salted = {r.token: list(r.postings) for r in postings.salted_postings(t, salts=4).collect()}
+    assert plain == salted
+
+
+def test_bigram_through_punctuation(spark):
+    # SURVEY hard-part 4: tokens separated by REMOVED punctuation must still
+    # pair. Build token table via indexable_tokens(remove_punc=True), then
+    # lag must pair across the removed token because it isn't a row.
+    from ksana_corpus_builder_spark.tokenizer import indexable_tokens
+    toks = indexable_tokens("（慈）悲 慈悲", remove_punc=True)
+    df = spark.createDataFrame(
+        pd.DataFrame([("d1", p, t) for (t, p, _) in toks],
+                     columns=["doc_id", "pos", "token"]))
+    pairs = bigram.adjacent_pairs(df).collect()
+    bigrams = sorted(r.bigram for r in pairs)
+    assert "慈 悲" in bigrams  # the punctuation-separated pair survived
+    counts = {r.bigram: r.cnt for r in bigram.bigram_counts(df).collect()}
+    assert counts["慈 悲"] == 2
+
+
+def test_whitelist_postings_at_prev_tpos(spark):
+    d = _docs(spark, [(1, "x y z")])
+    t = tpos.with_tpos(tokens.word_tokens(d))
+    wl = spark.createDataFrame(pd.DataFrame({"bigram": ["x y"]}))
+    got = bigram.whitelist_postings(t, wl).collect()
+    # posted at the FIRST token's tpos (reference inverted.js:57-58 tPos-1)
+    assert [(r.bigram, r.tpos) for r in got] == [("x y", 1)]
+
+
+def test_asof_join_window(spark):
+    facts = spark.createDataFrame(
+        pd.DataFrame({"g": [1, 1, 1, 2], "k": [5, 10, 3, 1], "fid": [1, 2, 3, 4]}))
+    dims = spark.createDataFrame(
+        pd.DataFrame({"g": [1, 1, 2], "k": [4, 9, 7], "val": ["a", "b", "c"]}))
+    out = rangejoin.asof_join_window(facts, dims, on="g", fact_key="k",
+                                     dim_key="k", value_cols=["val"])
+    got = {r.fid: r.val for r in out.collect()}
+    assert got == {1: "a", 2: "b", 3: None, 4: None}
+
+
+def test_asof_join_broadcast(spark):
+    facts = spark.createDataFrame(pd.DataFrame({"k": [5, 10, 3, 100]}))
+    out = rangejoin.asof_join_broadcast(facts, starts=[4, 9],
+                                        labels=["art1", "art2"], fact_key="k")
+    got = sorted((r.k, r.article) for r in out.collect())
+    assert got == [(3, None), (5, "art1"), (10, "art2"), (100, "art2")]
+
+
+def test_exact_duplicates(spark):
+    d = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    got = dedup.exact_duplicates(d).collect()
+    assert len(got) == 1 and list(got[0].doc_ids) == [1, 2]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base + " extra"), (3, "completely different words here now for sure")]
+    got = dedup.minhash_lsh_pairs(_docs(spark, rows), k=16, bands=8).collect()
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in got}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.4
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact(spark):
+    rows = [(1, "a b c d e"), (2, "a b c d e f"), (3, "z y x w v")]
+    got = dedup.ngram_jaccard_pairs(_docs(spark, rows), n=3,
+                                    threshold_num=1, threshold_den=2).collect()
+    assert [(r.id_a, r.id_b, r.inter, r.uni) for r in got] == [(1, 2, 3, 4)]
+
+
+def test_simhash_near_dup_low_hamming(spark):
+    base = ("the quick brown fox jumps over the lazy dog while data flows "
+            "through the cluster pipeline")
+    rows = [(1, base), (2, base + " slightly changed"),
+            (3, "entirely unrelated content about cooking recipes and music")]
+    fp = {r.doc_id: r.simhash for r in dedup.simhash64(_docs(spark, rows)).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+    assert ham(fp[1], fp[2]) <= 12
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0)
+          .collect()[0].embedding]
+    brute = [r.vec_id for r in ann.brute_force_topk(emb, qv, k=10).collect()]
+    approx = [r.vec_id for r in ann.lsh_topk(emb, qv, k=10, nbits=2).collect()]
+    # bucketing must at least find the query itself + some true neighbors
+    # (embeddings here are uniform-random, so single-probe recall is modest
+    # by construction; nbits trades candidates for recall)
+    assert 0 in approx
+    assert len(set(brute) & set(approx)) >= 3

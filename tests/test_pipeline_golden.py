@@ -1,0 +1,91 @@
+"""North-rule golden tests: the Spark pipeline vs the pure-pandas oracle.
+
+- keep/drop F1 >= 0.99 (BASELINE.json)
+- scrubbed text BYTE-IDENTICAL per url
+- extraction byte-identical (pages.text column == extract_text(html))
+- metrics table accounts for every document
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ksana_corpus_builder_spark.oracle import golden
+from ksana_corpus_builder_spark.plans import quality_pipeline as qp
+from ksana_corpus_builder_spark.sources.pages import make_pages_pdf, pages_df
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return make_pages_pdf(N, seed=42)
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, pages_pdf):
+    df = spark.createDataFrame(pages_pdf)
+    return qp.process(df, buckets=8).toPandas().sort_values("url").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(pages_pdf):
+    return golden.run(pages_pdf).sort_values("url").reset_index(drop=True)
+
+
+def test_extraction_byte_identity(pages_pdf):
+    # the input table's text column IS the extraction contract
+    from ksana_corpus_builder_spark.functions.text import extract_text
+    ext = extract_text(pages_pdf["html"])
+    assert (ext == pages_pdf["text"]).all()
+
+
+def test_scrubbed_byte_identity(spark_result, oracle_result):
+    assert list(spark_result["url"]) == list(oracle_result["url"])
+    mism = (spark_result["text"] != oracle_result["scrubbed_text"]).sum()
+    assert mism == 0, f"{mism} urls differ"
+
+
+def test_keep_f1(spark_result, oracle_result):
+    f1 = golden.f1(oracle_result["keep"].astype(bool),
+                   spark_result["keep"].astype(bool))
+    assert f1 >= 0.99, f"F1={f1}"
+
+
+def test_labels_have_drops_and_keeps(oracle_result):
+    # fixture sanity: both classes present, rules fire
+    keeps = int(oracle_result["keep"].sum())
+    assert 0 < keeps < len(oracle_result)
+    assert oracle_result["rules_hit"].map(len).sum() > 0
+
+
+def test_langid_agreement(spark_result, oracle_result):
+    assert (spark_result["lang_detected"] == oracle_result["lang_detected"]).all()
+
+
+def test_perplexity_agreement(spark_result, oracle_result):
+    a = spark_result["perplexity"].to_numpy()
+    b = oracle_result["perplexity"].to_numpy()
+    assert ((a == b) | (pd.isna(a) & pd.isna(b))).all()
+
+
+def test_metrics_account_for_all_docs(spark, pages_pdf):
+    df = spark.createDataFrame(pages_pdf)
+    res = qp.process(df, buckets=8)
+    m = qp.metrics(res, input_snapshot_id=7).toPandas()
+    assert m["n_docs"].sum() == N
+    assert (m["input_snapshot_id"] == 7).all()
+    assert m["n_kept"].sum() <= N
+    # rule hit counts aggregate to the oracle's totals
+    orc = golden.run(pages_pdf)
+    total_hits = int(orc["rules_hit"].map(len).sum())
+    got_hits = int(sum(sum(d.values()) for d in m["rule_hit_counts"]))
+    assert got_hits == total_hits
+
+
+def test_distributed_generator_matches_pandas(spark, pages_pdf):
+    got = pages_df(spark, N, seed=42).toPandas().sort_values("url").reset_index(drop=True)
+    exp = pages_pdf.sort_values("url").reset_index(drop=True)
+    assert (got["text"] == exp["text"]).all()
+    assert (got["lang"] == exp["lang"]).all()

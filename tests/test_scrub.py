@@ -1,0 +1,50 @@
+"""PII / toxicity scrub — golden replacements + counts."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ksana_corpus_builder_spark.functions import scrub as S
+
+
+def one(text):
+    return S.scrub_series(pd.Series([text])).iloc[0]
+
+
+def test_email():
+    r = one("mail john.doe@example.com now")
+    assert r["text"] == "mail <EMAIL> now" and r["scrub_email"] == 1
+
+
+def test_ipv4():
+    r = one("ping 192.168.10.25 and 999.999.1.1")
+    assert r["text"] == "ping <IP> and 999.999.1.1" and r["scrub_ipv4"] == 1
+
+
+def test_ssn_vs_phone_order():
+    # ssn rule runs before phone; 123-45-6789 is SSN-shaped, not phone
+    r = one("ssn 123-45-6789 phone 555-867-5309")
+    assert r["text"] == "ssn <SSN> phone <PHONE>"
+    assert r["scrub_ssn"] == 1 and r["scrub_phone"] == 1
+
+
+def test_credit_card():
+    r = one("card 4111 1111 1111 1111 ok")
+    assert r["text"] == "card <CC> ok" and r["scrub_credit_card"] == 1
+
+
+def test_phone_formats():
+    r = one("call (212) 555-0142 or +1 415-555-2671")
+    assert r["text"] == "call <PHONE> or <PHONE>"
+
+
+def test_toxicity_case_insensitive():
+    r = one("a BadWord and slurword here")
+    assert r["text"] == "a <TOX> and <TOX> here" and r["scrub_toxicity"] == 2
+
+
+def test_clean_text_untouched():
+    t = "perfectly ordinary sentence with no secrets"
+    r = one(t)
+    assert r["text"] == t
+    assert sum(r[f"scrub_{n}"] for n in S.SCRUB_RULE_NAMES) == 0

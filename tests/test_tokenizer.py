@@ -1,0 +1,62 @@
+"""Tokenizer v2 semantics (reference contract from index.js:177-195,
+inverted.js:33-73)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ksana_corpus_builder_spark import tokenizer as tk
+
+
+def types(text):
+    return [t for _, t in tk.tokenize(text)]
+
+
+def test_token_types():
+    toks = tk.tokenize("Hello, 世界 42 naïve!")
+    assert toks == [
+        ("Hello", tk.LATIN), (",", tk.PUNC), (" ", tk.SPACE),
+        ("世", tk.CJK), ("界", tk.CJK), (" ", tk.SPACE),
+        ("42", tk.NUMBER), (" ", tk.SPACE),
+        ("naïve", tk.LATIN), ("!", tk.PUNC),
+    ]
+
+
+def test_roundtrip_concat():
+    s = "a b,c 世界 42\nx"
+    assert "".join(t for t, _ in tk.tokenize(s)) == s
+
+
+def test_normalize_latin():
+    assert tk.normalize_latin("Naïve") == "naive"
+    assert tk.normalize_latin("ÉLÈVE") == "eleve"
+
+
+def test_indexable_space_consumes_no_tpos():
+    # "a b" -> a at tpos 1, b at tpos 2 (space consumed nothing)
+    out = tk.indexable_tokens("a b")
+    assert out == [("a", 1, tk.LATIN), ("b", 2, tk.LATIN)]
+
+
+def test_indexable_punc_consumes_tpos_not_indexed():
+    # reference inverted.js:49-53 — PUNC/NUMBER advance tPos, not indexed
+    out = tk.indexable_tokens("a,b")
+    assert out == [("a", 1, tk.LATIN), ("b", 3, tk.LATIN)]
+
+
+def test_indexable_remove_punc_preserves_adjacency():
+    # reference inverted.js:40-45 — removed punc neither consumes tpos nor
+    # breaks adjacency: （慈）悲 must still pair 慈悲
+    out = tk.indexable_tokens("（慈）悲", remove_punc=True)
+    assert out == [("慈", 1, tk.CJK), ("悲", 2, tk.CJK)]
+
+
+def test_vectorized_matches_scalar():
+    s = pd.Series(["Hello, 世界", "42 naïve"])
+    assert list(tk.tokenize_series(s)) == [tk.tokenize(x) for x in s]
+
+
+def test_bpe_ish_count():
+    s = pd.Series(["hello world 42!", ""])
+    # hello, world, 4, 2, ! -> 5
+    assert list(tk.bpe_ish_token_count(s)) == [5, 0]
