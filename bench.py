@@ -87,6 +87,7 @@ def main() -> None:
     timings["quality_pipeline"] = round(pipe_sec, 3)
 
     for name in HEADLINE:
+        _count(QUERIES[name](spark, SF_DIR))  # warm: codegen + analyzer JIT
         t0 = time.perf_counter()
         _count(QUERIES[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)

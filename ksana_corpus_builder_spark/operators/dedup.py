@@ -35,16 +35,27 @@ def _perm_constants(k: int) -> list[tuple[int, int]]:
     return consts
 
 
+def shingle_array(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """-> (doc_id, shingles array<string>), distinct word n-grams per doc.
+    Docs with fewer than n words get an empty array (sequence(0,-1) would
+    yield [0,-1] — Spark sequences auto-descend — hence the guard)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )),
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select(id_col, sh.alias("shingles"))
+
+
 def shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """word n-gram shingles, distinct per doc -> (doc_id, shingle)."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return (documents
-            .select(id_col, F.explode(F.array_distinct(sh)).alias("shingle")))
+    return (shingle_array(documents, n, id_col, text_col)
+            .select(id_col, F.explode("shingles").alias("shingle")))
 
 
 def exact_duplicates(documents: DataFrame, id_col: str = "doc_id",
@@ -94,15 +105,41 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
 def minhash_signatures(documents: DataFrame, k: int = 32, n: int = 3,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """-> (doc_id, sig array<long>[k]) via min over affine perms of xxhash64."""
-    sh = shingles(documents, n, id_col, text_col)
-    h = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_P)))
-    mins = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_constants(k))
-    ]
-    agg = h.groupBy(id_col).agg(*mins)
-    return agg.select(id_col, F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+    """-> (doc_id, sig array<long>[k]) via min over affine perms of xxhash64.
+
+    SHUFFLE-FREE: the signature is a pure per-document computation, done
+    entirely with array higher-order functions — no explode, no groupBy.
+    At 100 TB this stage is embarrassingly parallel; only the later LSH
+    band join shuffles.
+    (h < 2^31 and a < 2^31, so h*a+b fits int64 under ANSI arithmetic.)
+
+    Caveat that shapes this code: higher-order functions are CodegenFallback
+    (interpreted, no common-subexpression elimination), so any subtree
+    referenced K times is COMPUTED K times. Everything therefore folds in a
+    single `aggregate` pass where each subexpression appears exactly once.
+    """
+    consts = _perm_constants(k)
+    # array LITERALS, not CreateArray: in interpreted HOF evaluation a
+    # CreateArray re-allocates per element visit; a Literal is O(1).
+    A = F.lit([a for a, _ in consts]).cast("array<long>")
+    B = F.lit([b for _, b in consts]).cast("array<long>")
+    seq = F.lit(list(range(1, k + 1)))
+    sh = shingle_array(documents, n, id_col, text_col)
+    sig = F.aggregate(
+        F.col("shingles"),
+        F.array_repeat(F.lit(_P).cast("long"), k),
+        lambda acc, s: _apply_perms(acc, F.pmod(F.xxhash64(s), F.lit(_P)),
+                                    A, B, seq),
+    )
+    return (sh.where(F.size("shingles") > 0)  # parity: empty docs drop out
+            .select(id_col, sig.alias("sig")))
+
+
+def _apply_perms(acc, h, A, B, seq):
+    return F.zip_with(
+        acc, seq,
+        lambda m, i: F.least(
+            m, F.pmod(h * F.element_at(A, i) + F.element_at(B, i), F.lit(_P))))
 
 
 def minhash_lsh_pairs(documents: DataFrame, k: int = 32, bands: int = 8,
@@ -111,11 +148,18 @@ def minhash_lsh_pairs(documents: DataFrame, k: int = 32, bands: int = 8,
     """Candidate pairs whose signatures collide in >=1 band, with estimated
     Jaccard = matching minhashes / k. Bucket join, never cross product."""
     rows_per_band = k // bands
-    sig = minhash_signatures(documents, k, n, id_col, text_col)
+    # sig is consumed 3x (band explode + both sides of the verify join).
+    # Locally we persist; at 100 TB the signatures table is materialized to
+    # storage between the two stages instead (sig is ~k*8 bytes/doc, far
+    # smaller than the corpus, and rereading beats recomputing shingles).
+    sig = minhash_signatures(documents, k, n, id_col, text_col).persist()
+    # The band join carries ONLY (id, band-bucket) — signatures join back
+    # after pair dedup, so the shuffle rows stay ~16 bytes instead of
+    # 16 + 8k bytes. At 100 TB the candidate-pair shuffle is the bottleneck.
     banded = sig.select(
-        id_col, "sig",
+        F.col(id_col).alias("id"),
         F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", *[
+            F.xxhash64(F.concat_ws(",", F.lit(band), *[
                 F.element_at("sig", band * rows_per_band + r + 1).cast("string")
                 for r in range(rows_per_band)
             ])) for band in range(bands)
@@ -123,35 +167,56 @@ def minhash_lsh_pairs(documents: DataFrame, k: int = 32, bands: int = 8,
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                           lambda m: m)) / F.lit(k)
-    return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", est.alias("est_jaccard")))
 
 
 def simhash64(documents: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens: bit i of the fingerprint is the sign
-    of sum over tokens of (+1 if bit i of xxhash64(token) else -1)."""
+    of sum over tokens of (+1 if bit i of xxhash64(token) else -1).
+
+    SHUFFLE-FREE: per-document, computed with array higher-order functions —
+    no explode/groupBy. Docs with zero tokens are dropped (parity with the
+    former explode path). Single `aggregate` fold (HOFs are interpreted
+    without CSE, so every subtree must be referenced exactly once): the
+    accumulator is the 64 signed bit-counts; the fingerprint is then one
+    more fold turning positive counts into set bits.
+    """
+    seq64 = F.lit(list(range(1, 65)))
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-    t = documents.select(id_col, F.explode(toks).alias("token"))
-    t = t.withColumn("h", F.xxhash64("token"))
-    bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                     1).otherwise(-1)).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = t.groupBy(id_col).agg(*bit_sums)
-    fp = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return agg.select(id_col, fp.alias("simhash"))
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: _add_bits(acc, F.xxhash64(t), seq64),
+    )
+    fp = F.aggregate(
+        F.zip_with(counts, seq64,
+                   lambda c, i: F.when(
+                       c > 0, F.call_function("shiftleft",
+                                              F.lit(1).cast("long"), i - 1)
+                   ).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+    return (documents
+            .where(F.size(toks) > 0)  # parity: zero-token docs drop out
+            .select(id_col, fp.alias("simhash")))
+
+
+def _add_bits(acc, h, seq64):
+    # c += +1 if bit (i-1) of h else -1
+    return F.zip_with(
+        acc, seq64,
+        lambda c, i: c + F.call_function("shiftright", h, i - 1)
+        .bitwiseAND(F.lit(1)) * 2 - 1)
