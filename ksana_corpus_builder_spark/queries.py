@@ -653,6 +653,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_topk": q_lsh_topk,
 }
 
+from .queries_ext import ORACLE_SQL_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+
 ORACLE_SQL: dict[str, str] = {
     "doc_stats": _SQL_DOC_STATS,
     "keep_drop": _SQL_KEEP_DROP,
@@ -677,3 +681,4 @@ ORACLE_SQL: dict[str, str] = {
     "ann_topk": _SQL_ANN_TOPK,
     # minhash_pairs / simhash / pages_pipeline / lsh_topk: rows-only
 }
+ORACLE_SQL.update(ORACLE_SQL_EXT)

@@ -1,0 +1,506 @@
+"""Extended query surface — round-1 widening of SURVEY.md §2 coverage.
+
+Every entry is a (spark_fn, duckdb_oracle_sql) pair following the same
+cross-engine determinism rules as queries.py (integer arithmetic, identical
+aliases, decimal-exact sums, rounded-to-6dp floats with id tie-breaks).
+
+Covered here (SURVEY §2 ids):
+- A1/A2/A3/A4  char unigrams + bigram/unigram ratio (genbigram E4 pattern)
+- C11/C13      kpos pack/unpack round-trip as Column arithmetic
+- W1 maps      per-doc coordinate map (doc2tpos analogue of inverted.js:10-25)
+- gap-fill     sequence() + left join (romable.js:107-123 gap rules)
+- F4/F6        lag-based monotonicity / gap violation counts
+- F12          first-error dedup (onerror.js:27-31)
+- J3           broadcast hash join + left_anti unconsumed (note.js:3-29)
+- J4           ptr/def self-join on a shared key (note.js:31-58)
+- J5/A11       reverse links: distinct sorted link targets per source
+- J1           interval/range join against a broadcast bucket dim
+plus training-pipeline ops: embedding near-dup pairs, banded document
+fingerprints, BPE-ish token counting, composite quality score.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import codec
+from .operators import ann, tokens, tpos
+from .operators.dedup import shingles
+from .sources.tables import load
+
+_TOKS_SQL = "list_filter(string_split({col}, ' '), x -> x <> '')"
+
+
+def _doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    return tokens.word_tokens(load(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------- A1: chars
+
+def q_char_unigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-character counts over non-whitespace chars (genbigram.js:14-27
+    unigram pass, generalized beyond the CJK range)."""
+    d = load(spark, sf, "documents")
+    ch = F.explode(F.split(F.regexp_replace("text", r"\s", ""), ""))
+    return (d.select(ch.alias("ch")).where(F.col("ch") != "")
+            .groupBy("ch").agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= 100))
+
+
+_SQL_CHAR_UNIGRAMS = r"""
+SELECT ch, count(*)::BIGINT AS cnt
+FROM (SELECT unnest(regexp_extract_all(text, '[^\s]')) AS ch FROM documents)
+GROUP BY ch HAVING count(*) >= 100
+"""
+
+# ------------------------------------------------- A2/A3/A4: bigram ratio
+
+_RATIO_MIN = 5  # minoccur analogue (genbigram.js:66, default 1000 at corpus scale)
+
+
+def q_bigram_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """The genbigram two-job shape (E4): adjacent-pair counts joined back to
+    unigram counts; ratio kept integer (cnt, uni_sum) — the reference's
+    `bigram/(uni1+uni2)` (genbigram.js:40-43) is reported cross-multiplied."""
+    t = _doc_tokens(spark, sf)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (t.withColumn("prev", F.lag("token").over(w))
+             .where(F.col("prev").isNotNull())
+             .groupBy("prev", "token").agg(F.count("*").alias("cnt"))
+             .where(F.col("cnt") > _RATIO_MIN))
+    uni = t.groupBy("token").agg(F.count("*").alias("u"))
+    u1 = uni.select(F.col("token").alias("prev"), F.col("u").alias("u1"))
+    u2 = uni.select("token", F.col("u").alias("u2"))
+    return (pairs.join(u1, "prev").join(u2, "token")
+            .select(F.concat_ws(" ", "prev", "token").alias("bigram"),
+                    "cnt", (F.col("u1") + F.col("u2")).alias("uni_sum")))
+
+
+_SQL_BIGRAM_RATIO = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS pos FROM t),
+pairs AS (
+  SELECT prev, token, count(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, token,
+          lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok)
+  WHERE prev IS NOT NULL GROUP BY 1, 2 HAVING count(*) > {_RATIO_MIN}),
+uni AS (SELECT token, count(*)::BIGINT AS u FROM tok GROUP BY token)
+SELECT pairs.prev || ' ' || pairs.token AS bigram, cnt,
+       (u1.u + u2.u)::BIGINT AS uni_sum
+FROM pairs JOIN uni u1 ON u1.token = pairs.prev
+           JOIN uni u2 ON u2.token = pairs.token
+"""
+
+# ---------------------------------------------------- C11: kpos round-trip
+
+def q_kpos_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack (book,page,line,ch) derived from lineitem ints into a kpos
+    BIGINT and unpack it back — pure Column arithmetic, whole-stage
+    codegen'd (reference Ksanapos pack/unpack, inverted.js:11-14)."""
+    l = load(spark, sf, "lineitem")
+    book = (F.col("l_orderkey") % 100 + 1)
+    page = F.col("l_linenumber")
+    line = F.col("l_partkey") % 1000
+    ch = F.col("l_suppkey") % 100
+    k = codec.pack_col(book, page, line, ch)
+    d = l.select("l_orderkey", "l_linenumber", k.alias("kpos"))
+    u = codec.unpack_cols(F.col("kpos"))
+    return d.select(
+        "l_orderkey", "l_linenumber", "kpos",
+        u["book"].alias("book"), u["page"].alias("page"),
+        u["line"].alias("line"), u["ch"].alias("ch"),
+        codec.book_start_col(F.col("kpos")).alias("book_start"),
+    )
+
+
+def _kpos_sql() -> str:
+    pat = codec.DEFAULT_PATTERN
+    pack = (f"((((l_orderkey % 100 + 1) * {1 << pat.pagebits} + l_linenumber)"
+            f" * {1 << pat.linebits} + l_partkey % 1000) * {pat.char_mod}"
+            f" + l_suppkey % 100)")
+    u = codec.oracle_unpack_sql("kpos")
+    return f"""
+WITH k AS (SELECT l_orderkey, l_linenumber, {pack}::BIGINT AS kpos FROM lineitem)
+SELECT l_orderkey, l_linenumber, kpos,
+  {u['book']} AS book, {u['page']} AS page, {u['line']} AS line, {u['ch']} AS ch,
+  ({u['book']} * {pat.page_mod})::BIGINT AS book_start
+FROM k
+"""
+
+# --------------------------------------- W1 coordinate maps: doc2tpos
+
+def q_doc_tpos_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document tpos extents over the globally gapped counter — the
+    book2tpos/article2tpos coordinate maps (inverted.js:10-25,85-94)."""
+    t = tpos.with_tpos(_doc_tokens(spark, sf))
+    return t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.min("tpos").alias("min_tpos"), F.max("tpos").alias("max_tpos"))
+
+
+_SQL_DOC_TPOS_MAP = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS pos FROM t),
+docs AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+offs AS (SELECT doc_id,
+  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+  + {tpos.DOC_GAP} * (row_number() OVER (ORDER BY doc_id) - 1) AS off
+  FROM docs)
+SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+       min(off + pos)::BIGINT AS min_tpos, max(off + pos)::BIGINT AS max_tpos
+FROM tok JOIN offs USING (doc_id) GROUP BY tok.doc_id
+"""
+
+# ------------------------------------------------- gap filling (romable)
+
+def q_gap_fill_hours(spark: SparkSession, sf: str) -> DataFrame:
+    """Zero-filled hourly counts per event_type via sequence() + left join —
+    the Spark form of the reference's dense page/line gap filling
+    (romable.js:107-123: empty pages padded so coordinates stay dense)."""
+    e = load(spark, sf, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = e.groupBy(hour.alias("h"), "event_type").agg(F.count("*").alias("n"))
+    span = e.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    hours = span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"))
+    return (hours.join(counts, ["event_type", "h"], "left")
+            .select("event_type",
+                    F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n")))
+
+
+_SQL_GAP_FILL_HOURS = """
+WITH counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+span AS (
+  SELECT event_type, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY 1),
+hours AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM span)
+SELECT hours.event_type, strftime(hours.h, '%Y-%m-%d %H') AS hour,
+       coalesce(n, 0)::BIGINT AS n
+FROM hours LEFT JOIN counts
+  ON counts.event_type = hours.event_type AND counts.h = hours.h
+"""
+
+# ------------------------------------------- F4/F6: monotonicity checks
+
+def q_monotonic_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user counts of order violations — the reference's line
+    monotonicity error (index.js:251-268) and page-gap warning
+    (handlers.js:39-42) as lag() checks."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    x = e.select(
+        "user_id",
+        (F.col("value") < F.lag("value").over(w)).cast("int").alias("drop_"),
+        ((sec - F.lag(sec).over(w)) > 3600).cast("int").alias("gap_"),
+    )
+    return x.groupBy("user_id").agg(
+        F.coalesce(F.sum("drop_"), F.lit(0)).cast("long").alias("n_value_drops"),
+        F.coalesce(F.sum("gap_"), F.lit(0)).cast("long").alias("n_big_gaps"))
+
+
+_SQL_MONOTONIC_CHECK = """
+WITH x AS (
+  SELECT user_id,
+    CASE WHEN value < lag(value) OVER w THEN 1 ELSE 0 END AS drop_,
+    CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 3600
+         THEN 1 ELSE 0 END AS gap_
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, sum(drop_)::BIGINT AS n_value_drops,
+       sum(gap_)::BIGINT AS n_big_gaps
+FROM x GROUP BY user_id
+"""
+
+# ----------------------------------------------------- F12: error dedup
+
+def q_first_error(spark: SparkSession, sf: str) -> DataFrame:
+    """First error per user (report-once dedup, onerror.js:27-31) —
+    deterministic via (ts, event_id) ranking, not dropDuplicates arrival
+    order."""
+    e = load(spark, sf, "events").where(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).select("user_id", "event_id"))
+
+
+_SQL_FIRST_ERROR = """
+SELECT user_id, event_id
+FROM (SELECT user_id, event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'error')
+WHERE rn = 1
+"""
+
+# ------------------------------------- J3: hash join + unconsumed anti
+
+_J3_QTY = 45
+
+
+def q_unconsumed_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Footnote-join shape (accelon3handler/note.js:3-29): a dim (part) is
+    consumed by refs (high-quantity lineitems); unconsumed dim entries are
+    reported via left_anti — the reference's leftover-footnote warning
+    (parsepre.js:277-284)."""
+    p = load(spark, sf, "part")
+    refs = (load(spark, sf, "lineitem")
+            .where(F.col("l_quantity") >= _J3_QTY).select("l_partkey"))
+    return (p.join(refs, p.p_partkey == refs.l_partkey, "left_anti")
+            .select(F.col("p_partkey").cast("long").alias("p_partkey"), "p_name"))
+
+
+_SQL_UNCONSUMED_DIM = f"""
+SELECT p_partkey::BIGINT AS p_partkey, p_name
+FROM part WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_partkey = p_partkey AND l_quantity >= {_J3_QTY})
+"""
+
+# ------------------------------------------- J4: ptr/def self-join
+
+def q_ptr_def_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """ptr/def self-join (note.js:31-58): 'click' events are pointers,
+    'purchase' events are definitions; they join on (user_id, props.k)."""
+    e = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    ptr = (e.where(F.col("event_type") == "click")
+           .select("user_id", k.alias("k"), F.col("event_id").alias("ptr_id")))
+    dfn = (e.where(F.col("event_type") == "purchase")
+           .select("user_id", k.alias("k"), F.col("event_id").alias("def_id")))
+    return (ptr.join(dfn, ["user_id", "k"])
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.min("ptr_id").alias("first_ptr"),
+                 F.min("def_id").alias("first_def")))
+
+
+_SQL_PTR_DEF_PAIRS = """
+WITH ptr AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         event_id AS ptr_id
+  FROM events WHERE event_type = 'click'),
+dfn AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         event_id AS def_id
+  FROM events WHERE event_type = 'purchase')
+SELECT user_id, count(*)::BIGINT AS n_pairs,
+       min(ptr_id)::BIGINT AS first_ptr, min(def_id)::BIGINT AS first_def
+FROM ptr JOIN dfn USING (user_id, k) GROUP BY user_id
+"""
+
+# ------------------------------------------- J5/A11: reverse links
+
+def q_reverse_links(spark: SparkSession, sf: str) -> DataFrame:
+    """linkTo set semantics (index.js:170-175, reverselink.js:45-58):
+    distinct link targets per source, sorted, emitted as one row per
+    source (string-joined for cross-engine hash stability)."""
+    o = load(spark, sf, "orders")
+    return (o.groupBy("o_custkey")
+            .agg(F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority")))
+                 .alias("priorities"),
+                 F.countDistinct("o_orderpriority").alias("n_distinct"))
+            .select(F.col("o_custkey").cast("long").alias("o_custkey"),
+                    "priorities", F.col("n_distinct").cast("long").alias("n_distinct")))
+
+
+_SQL_REVERSE_LINKS = """
+SELECT o_custkey::BIGINT AS o_custkey,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+         AS priorities,
+       count(DISTINCT o_orderpriority)::BIGINT AS n_distinct
+FROM orders GROUP BY o_custkey
+"""
+
+# --------------------------------- J1: interval join vs broadcast dim
+
+_BUCKETS = [(0, 50, "xs"), (50, 100, "s"), (100, 200, "m"), (200, 501, "l")]
+
+
+def q_value_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join of facts into a tiny broadcast interval dim — the
+    findArticle range lookup (romable.js:43-59) when the dim is dim-sized.
+    Catalyst plans BroadcastNestedLoopJoin; at scale the same shape is the
+    pandas-UDF searchsorted path (operators/rangejoin.py)."""
+    e = load(spark, sf, "events")
+    dim = e.sparkSession.createDataFrame(
+        [(float(lo), float(hi), lab) for lo, hi, lab in _BUCKETS],
+        "lo double, hi double, bucket string")
+    j = e.join(F.broadcast(dim),
+               (e.value >= dim.lo) & (e.value < dim.hi))
+    return j.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("sum_value"))
+
+
+_SQL_VALUE_BUCKETS = f"""
+WITH dim(lo, hi, bucket) AS (VALUES
+  {", ".join(f"({lo}, {hi}, '{lab}')" for lo, hi, lab in _BUCKETS)})
+SELECT bucket, count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+FROM events JOIN dim ON value >= lo AND value < hi
+GROUP BY bucket
+"""
+
+# ----------------------------------- embeddings: near-dup cosine pairs
+
+_NEARDUP_T = 0.4
+
+
+def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-pipeline dedup):
+    all id_a < id_b with rounded cosine >= threshold. Brute force is the
+    correctness baseline; the LSH-bucketed path (operators/ann.py) is the
+    100 TB candidate generator."""
+    e = load(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(ann.cosine(F.col("ea"), F.col("eb")), 6)
+    return (j.select("id_a", "id_b", sim.alias("cos_sim"))
+            .where(F.col("cos_sim") >= _NEARDUP_T))
+
+
+_SQL_EMBED_NEARDUP = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.emb AS ea, b.emb AS eb
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+s AS (SELECT id_a, id_b,
+        round(list_sum(list_transform(range(1, len(ea) + 1),
+                                      i -> ea[i] * eb[i]))
+              / (sqrt(list_sum(list_transform(ea, x -> x * x)))
+                 * sqrt(list_sum(list_transform(eb, x -> x * x)))), 6) AS cos_sim
+      FROM p)
+SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= {_NEARDUP_T}
+"""
+
+# ------------------------------------- document fingerprint (banded min)
+
+_FP_BANDS = 4
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-style fingerprint: shingles bucketed into bands, minimum
+    md5 per (doc, band). Two docs sharing any band fingerprint are
+    near-dup candidates — the join key is tiny and shuffle-friendly."""
+    sh = shingles(load(spark, sf, "documents"), n=3)
+    return (sh.select("doc_id",
+                      (F.length("shingle") % _FP_BANDS).alias("band"),
+                      F.md5("shingle").alias("h"))
+            .groupBy("doc_id", "band")
+            .agg(F.min("h").alias("fp"))
+            .select("doc_id", F.col("band").cast("long").alias("band"), "fp"))
+
+
+_SQL_DOC_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3)
+SELECT doc_id, (length(shingle) % {_FP_BANDS})::BIGINT AS band,
+       min(md5(shingle)) AS fp
+FROM sh GROUP BY doc_id, band
+"""
+
+# ------------------------------------------- BPE-ish token counting
+
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting two ways per doc: whitespace words vs a BPE-ish
+    regex segmentation (letters / digit runs / single symbols) — the
+    per-document cost estimate a training pipeline budgets by."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_PAT)).cast("long").alias("n_bpe_tokens"))
+
+
+_SQL_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+  len({_TOKS_SQL.format(col='text')})::BIGINT AS n_ws_tokens,
+  len(regexp_extract_all(text, '{_BPE_PAT}'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+# ------------------------------------------- composite quality score
+
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer quality score 0..100: 100 minus 15 per rule hit (floor 0),
+    derived from the SAME production kernel the keep/drop label uses."""
+    from .queries import q_keep_drop
+    kd = q_keep_drop(spark, sf)
+    n_hit = F.when(F.col("rules_hit_str") == "", F.lit(0)) \
+             .otherwise(F.size(F.split("rules_hit_str", ",")))
+    return kd.select(
+        "doc_id",
+        F.greatest(F.lit(0), F.lit(100) - F.lit(15) * n_hit)
+        .cast("long").alias("score"))
+
+
+def _quality_score_sql() -> str:
+    from .queries import _SQL_KEEP_DROP
+    return f"""
+SELECT doc_id,
+  greatest(0, 100 - 15 * (CASE WHEN rules_hit_str = '' THEN 0
+    ELSE len(string_split(rules_hit_str, ',')) END))::BIGINT AS score
+FROM ({_SQL_KEEP_DROP}) kd
+"""
+
+
+# ================================================================ registry
+
+QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "char_unigrams": q_char_unigrams,
+    "bigram_ratio": q_bigram_ratio,
+    "kpos_roundtrip": q_kpos_roundtrip,
+    "doc_tpos_map": q_doc_tpos_map,
+    "gap_fill_hours": q_gap_fill_hours,
+    "monotonic_check": q_monotonic_check,
+    "first_error": q_first_error,
+    "unconsumed_dim": q_unconsumed_dim,
+    "ptr_def_pairs": q_ptr_def_pairs,
+    "reverse_links": q_reverse_links,
+    "value_buckets": q_value_buckets,
+    "embed_neardup": q_embed_neardup,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_count_bpe": q_token_count_bpe,
+    "quality_score": q_quality_score,
+}
+
+ORACLE_SQL_EXT: dict[str, str] = {
+    "char_unigrams": _SQL_CHAR_UNIGRAMS,
+    "bigram_ratio": _SQL_BIGRAM_RATIO,
+    "kpos_roundtrip": _kpos_sql(),
+    "doc_tpos_map": _SQL_DOC_TPOS_MAP,
+    "gap_fill_hours": _SQL_GAP_FILL_HOURS,
+    "monotonic_check": _SQL_MONOTONIC_CHECK,
+    "first_error": _SQL_FIRST_ERROR,
+    "unconsumed_dim": _SQL_UNCONSUMED_DIM,
+    "ptr_def_pairs": _SQL_PTR_DEF_PAIRS,
+    "reverse_links": _SQL_REVERSE_LINKS,
+    "value_buckets": _SQL_VALUE_BUCKETS,
+    "embed_neardup": _SQL_EMBED_NEARDUP,
+    "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+    "token_count_bpe": _SQL_TOKEN_COUNT_BPE,
+    "quality_score": _quality_score_sql(),
+}
