@@ -86,3 +86,65 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return (bucketed.where(F.col("bucket") == qb)
             .select(id_col, cosine(F.col(vec_col), q).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), id_col).limit(k))
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """+ `cell` column: index of the nearest of n_cells coarse centroids.
+
+    Centroids are the first n_cells vectors by id (deterministic coarse
+    quantizer; a k-means refinement would slot in unchanged). Assignment is
+    a vectorized pandas UDF: one numpy matmul per Arrow batch — the 100 TB
+    shape (batch_rows x dim) @ (dim x n_cells), zero per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = [r[1] for r in (embeddings.orderBy(id_col).limit(n_cells)
+                            .select(id_col, vec_col)
+                            .collect())]  # collect-ok: n_cells rows (dim-sized)
+    C = np.asarray(cents, dtype=np.float64)            # (n_cells, dim)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)  # cosine -> normalized
+
+    from pyspark.sql.types import IntegerType, StructField
+    out_schema = list(embeddings.schema.fields) + [
+        StructField("cell", IntegerType())]
+    from pyspark.sql.types import StructType
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+            pdf = pdf.copy()
+            pdf["cell"] = (Xn @ Cn.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    return embeddings.mapInPandas(assign, schema=StructType(out_schema))
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             n_cells: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: score only vectors in the n_probe cells nearest the query.
+
+    At 10^12 vectors the assignment is precomputed and the table is
+    partitioned by `cell`, so a probe reads n_probe/n_cells of the data
+    (partition pruning on the cell column); here assignment runs inline.
+    """
+    import numpy as np
+
+    assigned = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    cents = [r[1] for r in (embeddings.orderBy(id_col).limit(n_cells)
+                            .select(id_col, vec_col)
+                            .collect())]  # collect-ok: n_cells rows (dim-sized)
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(Cn @ qn))[:n_probe].tolist()
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (assigned.where(F.col("cell").isin([int(c) for c in probe]))
+            .select(id_col, F.round(cosine(F.col(vec_col), qcol), 6)
+                    .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), id_col).limit(k))

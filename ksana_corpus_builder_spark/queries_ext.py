@@ -467,9 +467,57 @@ FROM ({_SQL_KEEP_DROP}) kd
 """
 
 
+# ------------------------------------------- structured streaming twin
+
+def q_stream_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly counts computed by Structured Streaming (readStream +
+    watermark + window + availableNow) — must equal the batch GROUP BY."""
+    from .streaming.windowed import stream_hourly_query
+    return stream_hourly_query(spark, sf)
+
+
+def _stream_hourly_sql() -> str:
+    from .streaming.windowed import STREAM_HOURLY_SQL
+    return STREAM_HOURLY_SQL
+
+
+# ------------------------------------------- multimodal + IVF (rows-only
+# except media_meta, whose oracle recomputes the header arithmetic)
+
+def q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.media import media_meta_query
+    return media_meta_query(spark, sf)
+
+
+def _media_meta_sql() -> str:
+    from .operators.media import MEDIA_META_SQL
+    return MEDIA_META_SQL
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary payload -> byte-histogram feature vectors (the image-embedding
+    plumbing stand-in); rows-only."""
+    from .operators.media import byte_histogram, synth_media
+    docs = load(spark, sf, "documents")
+    return byte_histogram(synth_media(docs))
+
+
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-probed ANN top-k; rows-only (recall vs brute force is asserted
+    in tests/test_media_ivf.py)."""
+    e = load(spark, sf, "embeddings")
+    qv = [row[0] for row in
+          e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return ann.ivf_topk(e, qv, k=10, n_cells=16, n_probe=8)
+
+
 # ================================================================ registry
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_hourly": q_stream_hourly,
+    "media_meta": q_media_meta,
+    "media_features": q_media_features,
+    "ivf_topk": q_ivf_topk,
     "char_unigrams": q_char_unigrams,
     "bigram_ratio": q_bigram_ratio,
     "kpos_roundtrip": q_kpos_roundtrip,
@@ -488,6 +536,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL_EXT: dict[str, str] = {
+    "stream_hourly": _stream_hourly_sql(),
+    "media_meta": _media_meta_sql(),
     "char_unigrams": _SQL_CHAR_UNIGRAMS,
     "bigram_ratio": _SQL_BIGRAM_RATIO,
     "kpos_roundtrip": _kpos_sql(),

@@ -1,0 +1,85 @@
+"""Structured Streaming: event-time windowed aggregation with watermark.
+
+The reference has no streaming operators (SURVEY.md §2.10); this is the
+forward-looking ingest path for the web-scale pipeline: WARC fetch events
+arrive continuously, and per-window counts/quality metrics feed the
+metrics table incrementally.
+
+Pattern: `readStream` (file source over parquet increments) ->
+`withWatermark` -> `groupBy(window(...))` -> sink. With
+`Trigger.AvailableNow` this doubles as a deterministic batch-over-stream
+runner, which is how the oracle-checked `stream_hourly` query executes:
+the streaming plan's result must equal the plain batch GROUP BY — same
+semantics, different physical execution.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(stream: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """events stream -> per (window, event_type) counts + exact value sum.
+
+    Watermark bounds state: windows older than max(event_time) - watermark
+    are finalized and evicted — at 10^12 events the state store holds only
+    the open windows, not history.
+    """
+    return (
+        stream
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(38,2)")).alias("sum_value_d"))
+    )
+
+
+def run_available_now(spark: SparkSession, source_dir: str,
+                      schema, window: str = "1 hour",
+                      watermark: str = "2 hours",
+                      table_name: str = "stream_out") -> DataFrame:
+    """Run the windowed aggregation over all files currently in source_dir
+    with Trigger.AvailableNow into an in-memory sink; returns the result
+    as a (batch) DataFrame. Deterministic: one trigger drains everything,
+    complete output mode emits every window."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = windowed_event_counts(stream, window, watermark)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (agg.writeStream.format("memory").queryName(table_name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(table_name)
+
+
+def stream_hourly_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-checked rows: hourly counts computed BY THE STREAMING ENGINE
+    (file-source readStream + watermark + window + availableNow), formatted
+    to match the plain-SQL twin. The file source wants a directory, so the
+    single-parquet testdata file is staged into a temp dir (a real
+    deployment points at the increments directory itself)."""
+    import shutil
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="stream_hourly_")
+    shutil.copy(f"{sf}/events.parquet", stage)
+    out = run_available_now(spark, stage, batch.schema,
+                            table_name=f"stream_hourly_{abs(hash(sf)) % 10**8}")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("hour"),
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.col("sum_value_d").cast("double").alias("sum_value"),
+    )
+
+
+STREAM_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""

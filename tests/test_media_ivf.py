@@ -1,0 +1,66 @@
+"""Multimodal plumbing (operators/media.py) + IVF ANN recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksana_corpus_builder_spark.operators import ann, media
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_media_roundtrip(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    meta = media.decode_meta(media.synth_media(docs)).collect()
+    assert len(meta) == 50
+    for r in meta:
+        assert r.fmt == "ksim"
+        assert r.width == 16 + r.doc_id % 64
+        assert r.height == 16 + r.doc_id % 48
+        assert r.n_bytes == 12 + r.width * r.height
+        assert r.kind in ("image", "audio", "video")
+
+
+def test_media_unknown_container(spark):
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(b"JUNKxxxx"))],
+        "doc_id long, kind string, payload binary")
+    r = media.decode_meta(bad).collect()[0]
+    assert r.fmt == "unknown" and r.width == 0 and r.n_bytes == 8
+
+
+def test_byte_histogram_normalized(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    feats = media.byte_histogram(media.synth_media(docs)).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.feat) == 16
+        assert abs(sum(r.feat) - 1.0) < 1e-9
+
+
+def test_decode_pixels_is_gated(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
+    m = media.synth_media(docs)
+    with pytest.raises(NotImplementedError):
+        media.decode_pixels(m)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [r[0] for r in
+          e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    brute = {r.vec_id for r in ann.brute_force_topk(e, qv, k=10).collect()}
+    ivf = {r.vec_id for r in
+           ann.ivf_topk(e, qv, k=10, n_cells=16, n_probe=8).collect()}
+    # probing half the cells must recover most of the true top-10
+    assert len(brute & ivf) >= 5
+    assert 0 in ivf  # the query vector itself lives in a probed cell
+
+
+def test_ivf_assign_covers_all(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = ann.ivf_assign(e, n_cells=8)
+    assert a.count() == e.count()
+    cells = {r.cell for r in a.select("cell").distinct().collect()}
+    assert cells <= set(range(8)) and len(cells) > 1

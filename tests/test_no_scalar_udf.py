@@ -24,10 +24,13 @@ def test_no_row_at_a_time_udf():
 
 def test_no_collect_in_operators():
     # operators must stay distributed; driver-side collect is allowed only
-    # in queries.py (query parameters) and tools/tests
+    # in queries.py (query parameters) and tools/tests. Exception: a line
+    # carrying a `# collect-ok:` marker — a reviewed, BOUNDED dim-sized
+    # collect (e.g. n_cells IVF centroids), never data-sized.
     offenders = []
     for sub in ("operators", "plans", "functions"):
         for p in (PKG / sub).rglob("*.py"):
-            if ".collect()" in p.read_text():
-                offenders.append(str(p))
+            for i, line in enumerate(p.read_text().splitlines(), 1):
+                if ".collect()" in line and "# collect-ok:" not in line:
+                    offenders.append(f"{p}:{i}")
     assert not offenders, f"driver-side collect in {offenders}"

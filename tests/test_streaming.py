@@ -1,0 +1,116 @@
+"""streaming/: incremental checkpoint-resume, Structured Streaming windowed
+aggregation (must equal the batch GROUP BY), stateful sessionize (must
+equal the batch window query)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksana_corpus_builder_spark.streaming import incremental, sessionize, windowed
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- incremental
+
+def test_incremental_resume(spark, tmp_path):
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", inp / "batch1.parquet")
+
+    def fn(df, inc):
+        return df.select("doc_id", F.length("text").alias("n"))
+
+    r1 = incremental.process_new(spark, str(inp), str(out), fn)
+    assert [r.increment for r in r1] == ["batch1.parquet"]
+    assert r1[0].n_rows == 500
+
+    # re-run: nothing new -> no-op
+    assert incremental.process_new(spark, str(inp), str(out), fn) == []
+
+    # add an increment -> only it is processed
+    shutil.copy(f"{SF}/events.parquet", inp / "batch2.parquet")
+
+    def fn2(df, inc):
+        return df.select("event_id")
+
+    r2 = incremental.process_new(spark, str(inp), str(out), fn2)
+    assert [r.increment for r in r2] == ["batch2.parquet"]
+    cp = incremental.Checkpoint(str(out))
+    assert cp.committed() == {"batch1.parquet", "batch2.parquet"}
+    assert cp.read_marker("batch1.parquet")["n_rows"] == 500
+
+
+def test_incremental_crash_recovery(spark, tmp_path):
+    """Marker missing after data write (simulated crash) -> increment is
+    re-processed and the overwrite keeps the output correct."""
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    inp.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", inp / "b1.parquet")
+
+    def fn(df, inc):
+        return df.select("doc_id")
+
+    incremental.process_new(spark, str(inp), str(out), fn)
+    # simulate crash-before-commit: delete the marker, keep the data
+    os.remove(os.path.join(str(out), "_manifest", "b1.parquet.json"))
+    r = incremental.process_new(spark, str(inp), str(out), fn)
+    assert [x.increment for x in r] == ["b1.parquet"]
+    assert spark.read.parquet(os.path.join(str(out), "b1.parquet")).count() == 500
+
+
+def test_resume_anti_join(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    done = docs.limit(100).select("doc_id")
+    remaining = incremental.resume_anti_join(done, docs, key="doc_id")
+    assert remaining.count() == docs.count() - 100
+
+
+# -------------------------------------------------------- windowed streaming
+
+def test_stream_hourly_equals_batch(spark):
+    got = windowed.stream_hourly_query(spark, SF).toPandas()
+    exp = (spark.read.parquet(f"{SF}/events.parquet")
+           .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                  "yyyy-MM-dd HH").alias("hour"),
+                    "event_type")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum(F.col("value").cast("decimal(38,2)"))
+                .cast("double").alias("sum_value"))).toPandas()
+    got = got.sort_values(["hour", "event_type"]).reset_index(drop=True)
+    exp = exp.sort_values(["hour", "event_type"]).reset_index(drop=True)
+    assert len(got) == len(exp) and len(got) > 0
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert abs(got["sum_value"] - exp["sum_value"]).max() == 0.0
+
+
+# ------------------------------------------------------ stateful sessionize
+
+def test_sessionize_stateful_equals_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    stage = tmp_path / "events_in"
+    stage.mkdir()
+    shutil.copy(f"{SF}/events.parquet", stage)
+    stream = spark.readStream.schema(events.schema).parquet(str(stage))
+    out = sessionize.sessionize_stateful(stream)
+    name = "sess_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    got = {r.user_id: (r.n_events, r.n_sessions)
+           for r in spark.table(name).collect()}
+
+    from ksana_corpus_builder_spark.queries import QUERIES
+    exp = {r.user_id: (r.n_events, r.n_sessions)
+           for r in QUERIES["sessionize"](spark, SF).collect()}
+    assert got == exp and len(got) > 0
