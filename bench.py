@@ -5,10 +5,15 @@ Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec}, "sf": ..., "docs_per_sec": ...}
 
---scaling: re-runs the flagship quality-filter job at local[8] and
-local[32] in fresh subprocesses (new JVM each — config is immutable per
-JVM) and reports throughput at both plus scaling efficiency
-(BASELINE.md target >= 0.8). Efficiency = (thr_32/thr_8) / (32/8).
+--scaling: the north-rule two-cluster-size evidence. Stages a
+Common-Crawl-shaped pages table (url, warc_ts, html, text, lang; default
+40k pages, 64 parquet files) ONCE, then runs the identical full pipeline
+(html extraction + langid + rules + perplexity + scrub) over the same
+files at local[8] and local[32] in fresh subprocesses (new JVM each —
+master is immutable per JVM) and reports docs/sec at both plus scaling
+efficiency = (thr_32/thr_8) / (32/8), target >= 0.8 (BASELINE.md).
+Both runs read the same 64 splits (maxPartitionBytes pinned small so
+file-split count, like a real cluster scan, is cluster-size-independent).
 """
 
 from __future__ import annotations
@@ -45,21 +50,58 @@ def run_pipeline(spark, sf_dir: str) -> tuple[int, float]:
     return n, time.perf_counter() - t0
 
 
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "40000"))
+SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR",
+                           f"/tmp/spark_graft_pages_n{SCALE_N}")
+_SPLIT_CONF = {
+    # pin split sizing so BOTH cluster sizes see the same input splits
+    # (a real 100 TB scan's split count doesn't depend on executor count)
+    "spark.sql.files.maxPartitionBytes": str(1 << 20),
+    "spark.sql.files.openCostInBytes": str(1 << 20),
+}
+
+
+def _stage_pages() -> None:
+    """Materialize the deterministic pages table once (64 parquet files)."""
+    from ksana_corpus_builder_spark.session import get_spark
+    from ksana_corpus_builder_spark.sources.pages import pages_df
+    spark = get_spark(cpus=CPUS)
+    pages_df(spark, SCALE_N, slices=64).write.mode("overwrite").parquet(SCALE_DIR)
+    n = spark.read.parquet(SCALE_DIR).count()
+    print(json.dumps({"staged": n, "dir": SCALE_DIR}))
+
+
+def run_pages_pipeline(spark) -> tuple[int, float]:
+    """The north-rule job: full html -> extract/langid/rules/ppl/scrub."""
+    from ksana_corpus_builder_spark.plans.quality_pipeline import process
+    pages = spark.read.parquet(SCALE_DIR)
+    t0 = time.perf_counter()
+    n = process(pages).count()
+    return n, time.perf_counter() - t0
+
+
 def main() -> None:
+    if "--stage-pages" in sys.argv:
+        _stage_pages()
+        return
+
     if "--pipeline-only" in sys.argv:
         # subprocess entry for --scaling: one fresh JVM, prints n,sec
         from ksana_corpus_builder_spark.session import get_spark
-        spark = get_spark(cpus=CPUS)
-        run_pipeline(spark, SF_DIR)  # warm (JIT, parquet footer cache)
-        n, sec = run_pipeline(spark, SF_DIR)
+        spark = get_spark(cpus=CPUS, extra_conf=_SPLIT_CONF)
+        run_pages_pipeline(spark)  # warm (JIT, codegen, parquet footers)
+        n, sec = run_pages_pipeline(spark)
         print(json.dumps({"n": n, "sec": sec}))
         return
 
     if "--scaling" in sys.argv:
+        if not os.path.exists(os.path.join(SCALE_DIR, "_SUCCESS")):
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stage-pages"],
+                env=dict(os.environ), check=True)
         out = {}
         for cpus in (8, 32):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                       SPARK_GRAFT_SF_DIR=SF_DIR)
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
                 env=env, capture_output=True, text=True, check=True)
@@ -71,7 +113,9 @@ def main() -> None:
             "value": round((t32 / t8) / 4.0, 4),
             "unit": "ratio",
             "docs_per_sec": {"local8": round(t8, 1), "local32": round(t32, 1)},
-            "sf": SF_DIR,
+            "seconds": {"local8": out[8]["sec"], "local32": out[32]["sec"]},
+            "n_docs": out[32]["n"],
+            "input": SCALE_DIR,
         }))
         return
 

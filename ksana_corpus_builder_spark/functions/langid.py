@@ -33,17 +33,36 @@ _CJK_RE = r"[一-鿿]"
 _NONSPACE_RE = r"\S"
 
 
+# word -> tuple of language indexes (profiles overlap: 'de'/'la'/... appear
+# in several languages), built once so scoring is ONE pass per document
+_W2L: dict[str, tuple[int, ...]] = {}
+for _li, _lang in enumerate(LANGS):
+    for _w in PROFILES[_lang]:
+        _W2L[_w] = _W2L.get(_w, ()) + (_li,)
+
+
 def detect(texts: pd.Series) -> pd.DataFrame:
     """-> DataFrame(lang_detected, lang_hits, n_words) — vectorized kernel."""
     t = texts.fillna("")
     words = t.str.lower().str.split()
     n_words = words.str.len().fillna(0).astype(np.int64)
 
-    hits = {}
-    for lang in LANGS:
-        prof = frozenset(PROFILES[lang])
-        hits[lang] = words.map(lambda ws: sum(1 for w in ws if w in prof)).astype(np.int64)
-    hits_df = pd.DataFrame(hits, index=t.index)
+    get = _W2L.get
+    nl = len(LANGS)
+
+    def count_all(ws: list[str]) -> list[int]:
+        c = [0] * nl
+        for w in ws:
+            ls = get(w)
+            if ls:
+                for li in ls:
+                    c[li] += 1
+        return c
+
+    hits_df = pd.DataFrame(
+        np.array([count_all(ws) for ws in words], dtype=np.int64)
+        .reshape(len(t), nl),
+        columns=LANGS, index=t.index)
 
     cjk = t.str.count(_CJK_RE).astype(np.int64)
     nonspace = t.str.count(_NONSPACE_RE).astype(np.int64)

@@ -42,6 +42,12 @@ def _build_matrix() -> np.ndarray:
 
 _LOGP = _build_matrix()
 
+# codepoint -> alphabet index LUT: one vectorized gather per document
+# instead of one masked scan per alphabet character (39x fewer passes)
+_LUT = np.full(0x110000, _V - 1, dtype=np.uint8)
+for _ch, _i in _CODE.items():
+    _LUT[ord(_ch)] = _i
+
 
 def perplexity_series(texts: pd.Series) -> pd.Series:
     """pd.Series[str] -> pd.Series[float64] perplexity (lower = more fluent)."""
@@ -49,9 +55,7 @@ def perplexity_series(texts: pd.Series) -> pd.Series:
         if not isinstance(t, str) or len(t) < 2:
             return float("inf")
         codes = np.frombuffer(t.lower().encode("utf-32-le"), dtype=np.uint32)
-        idx = np.full(codes.shape, _V - 1, dtype=np.int64)
-        for ch, i in _CODE.items():
-            idx[codes == ord(ch)] = i
+        idx = _LUT[codes]
         lp = _LOGP[idx[:-1], idx[1:]]
         return float(10.0 ** (-lp.mean()))
 

@@ -70,9 +70,9 @@ def word_stats(texts: pd.Series) -> pd.DataFrame:
         arr = arr.reshape(0, 5)
     lines = t.str.split("\n")
     n_lines = lines.str.len().fillna(0).astype(np.int64)
+    # sum of (count-1) over duplicated lines == len - distinct
     n_dup_lines = lines.map(
-        lambda ls: sum(c - 1 for c in pd.Series(ls).value_counts() if c > 1) if ls else 0
-    ).astype(np.int64)
+        lambda ls: (len(ls) - len(set(ls))) if ls else 0).astype(np.int64)
     max_line_len = lines.map(lambda ls: max((len(x) for x in ls), default=0)).astype(np.int64)
     digit_chars = t.str.count(r"[0-9]").astype(np.int64)
 
@@ -110,5 +110,7 @@ def rule_flags(stats: pd.DataFrame) -> pd.DataFrame:
 def rules_hit_and_keep(texts: pd.Series) -> pd.DataFrame:
     """text -> (keep: bool, rules_hit: list[str]) — the oracle's label kernel."""
     flags = rule_flags(word_stats(texts))
-    hits = flags.apply(lambda row: [n for n in RULE_NAMES if row[n]], axis=1)
-    return pd.DataFrame({"keep": ~flags.any(axis=1), "rules_hit": hits}, index=texts.index)
+    m = flags[RULE_NAMES].to_numpy()  # one bool matrix, no row-wise apply
+    names = np.array(RULE_NAMES, dtype=object)
+    hits = pd.Series([list(names[row]) for row in m], index=texts.index)
+    return pd.DataFrame({"keep": ~m.any(axis=1), "rules_hit": hits}, index=texts.index)

@@ -31,11 +31,22 @@ SCRUB_RULE_NAMES = [name for name, _, _ in SCRUB_RULES]
 
 
 def scrub_series(texts: pd.Series) -> pd.DataFrame:
-    """-> DataFrame(text=scrubbed, plus one int64 hit-count column per rule)."""
-    s = texts.fillna("")
-    out = {"text": None}
+    """-> DataFrame(text=scrubbed, plus one int64 hit-count column per rule).
+
+    One regex scan per rule: `Pattern.subn` returns (new_text, n_hits), so
+    count+replace share the scan (the former str.count + str.replace pair
+    walked every string twice per rule — this kernel is the pipeline's
+    hottest, see BENCH notes)."""
+    import numpy as np
+    vals = texts.fillna("").to_numpy(dtype=object)
+    out = {}
     for name, pat, repl in SCRUB_RULES:
-        out[f"scrub_{name}"] = s.str.count(pat).astype("int64")
-        s = s.str.replace(pat, repl, regex=True)
-    out["text"] = s
-    return pd.DataFrame(out, index=texts.index)
+        subn = pat.subn
+        counts = np.empty(len(vals), dtype=np.int64)
+        new_vals = np.empty(len(vals), dtype=object)
+        for i, v in enumerate(vals):
+            new_vals[i], counts[i] = subn(repl, v)
+        vals = new_vals
+        out[f"scrub_{name}"] = counts
+    return pd.DataFrame({"text": pd.Series(vals, index=texts.index), **out},
+                        index=texts.index)

@@ -114,9 +114,17 @@ def pages_df(spark, n: int, seed: int = 42, slices: int | None = None):
             ids = b["id"].to_numpy()
             if len(ids) == 0:
                 continue
-            # ids are contiguous per-slice for spark.range
-            out = [make_pages_pdf(1, seed=seed, start_id=int(i)) for i in ids]
-            yield pd.concat(out, ignore_index=True)
+            # ids are contiguous per-slice for spark.range; generate whole
+            # runs at once (content is a pure function of (seed, id), so
+            # sharding cannot change any row)
+            runs, start = [], 0
+            for j in range(1, len(ids) + 1):
+                if j == len(ids) or ids[j] != ids[j - 1] + 1:
+                    runs.append((int(ids[start]), j - start))
+                    start = j
+            yield pd.concat(
+                [make_pages_pdf(cnt, seed=seed, start_id=s) for s, cnt in runs],
+                ignore_index=True)
 
     rng = spark.range(0, n, 1, slices or spark.sparkContext.defaultParallelism)
     return rng.select(F.col("id")).mapInPandas(gen, schema=PAGES_SCHEMA)
