@@ -99,22 +99,30 @@ def main() -> None:
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--stage-pages"],
                 env=dict(os.environ), check=True)
+        levels = [int(x) for x in os.environ.get(
+            "SPARK_GRAFT_SCALE_CPUS", "2,8,32").split(",")]
         out = {}
-        for cpus in (8, 32):
+        for cpus in levels:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--pipeline-only"],
                 env=env, capture_output=True, text=True, check=True)
             out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
-        t8 = out[8]["n"] / out[8]["sec"]
-        t32 = out[32]["n"] / out[32]["sec"]
+        thr = {c: out[c]["n"] / out[c]["sec"] for c in levels}
+        effs = {
+            f"eff_{a}_to_{b}": round((thr[b] / thr[a]) / (b / a), 4)
+            for a, b in zip(levels, levels[1:])
+        }
+        # the headline north-rule number: the first N -> 4N pair measured
+        headline = next(iter(effs.values())) if effs else None
         print(json.dumps({
-            "metric": "scaling_efficiency_8_to_32",
-            "value": round((t32 / t8) / 4.0, 4),
+            "metric": "scaling_efficiency",
+            "value": headline,
             "unit": "ratio",
-            "docs_per_sec": {"local8": round(t8, 1), "local32": round(t32, 1)},
-            "seconds": {"local8": out[8]["sec"], "local32": out[32]["sec"]},
-            "n_docs": out[32]["n"],
+            "efficiencies": effs,
+            "docs_per_sec": {f"local{c}": round(thr[c], 1) for c in levels},
+            "seconds": {f"local{c}": round(out[c]["sec"], 2) for c in levels},
+            "n_docs": out[levels[-1]]["n"],
             "input": SCALE_DIR,
         }))
         return

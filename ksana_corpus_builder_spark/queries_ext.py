@@ -481,6 +481,25 @@ def _stream_hourly_sql() -> str:
     return STREAM_HOURLY_SQL
 
 
+# ------------------------------------------- explicit skew handling
+
+def q_salted_source_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py): the hot-key-safe
+    plan for per-host counts on skewed web corpora. The oracle is the PLAIN
+    GROUP BY — salting must not change any result."""
+    from .operators.skew import salted_sum_agg
+    d = load(spark, sf, "documents")
+    out = salted_sum_agg(d, "source", F.col("n_chars"), salts=16,
+                         out="sum_chars")
+    return out.select("source", F.col("sum_chars").cast("long").alias("sum_chars"),
+                      "n")
+
+
+_SQL_SALTED_SOURCE_AGG = """
+SELECT source, sum(n_chars)::BIGINT AS sum_chars, count(*)::BIGINT AS n
+FROM documents GROUP BY source
+"""
+
 # ------------------------------------------- multimodal + IVF (rows-only
 # except media_meta, whose oracle recomputes the header arithmetic)
 
@@ -515,6 +534,7 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "salted_source_agg": q_salted_source_agg,
     "media_meta": q_media_meta,
     "media_features": q_media_features,
     "ivf_topk": q_ivf_topk,
@@ -537,6 +557,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL_EXT: dict[str, str] = {
     "stream_hourly": _stream_hourly_sql(),
+    "salted_source_agg": _SQL_SALTED_SOURCE_AGG,
     "media_meta": _media_meta_sql(),
     "char_unigrams": _SQL_CHAR_UNIGRAMS,
     "bigram_ratio": _SQL_BIGRAM_RATIO,
