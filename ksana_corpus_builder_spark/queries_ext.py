@@ -481,6 +481,130 @@ def _stream_hourly_sql() -> str:
     return STREAM_HOURLY_SQL
 
 
+# ----------------------------------------- TPC-H Q3/Q4-like join shapes
+
+def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Q3 shape: 3-way join (filtered dim ⋈ fact ⋈ fact) + aggregate +
+    top-k. The customer filter prunes before the join; revenue stays
+    decimal-exact until the final cast."""
+    c = (load(spark, sf, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    o = load(spark, sf, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    l = load(spark, sf, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    rev = (F.col("l_extendedprice").cast("decimal(38,4)")
+           * (F.lit(1).cast("decimal(38,4)")
+              - F.col("l_discount").cast("decimal(38,4)")))
+    j = (l.join(o, l.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey))
+    return (j.groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(rev).alias("revenue_d"))
+            .select("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                    F.col("revenue_d").cast("double").alias("revenue"))
+            .orderBy(F.desc("revenue_d"), "l_orderkey").limit(10))
+
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+                * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY sum(CAST(l_extendedprice AS DECIMAL(38,4))
+             * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))) DESC,
+         l_orderkey
+LIMIT 10
+"""
+
+
+def q_order_priority_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 shape: EXISTS -> left_semi join, then count per priority —
+    the semi-join operator class (SURVEY §2.4 'absent join kinds')."""
+    o = load(spark, sf, "orders")
+    hot = (load(spark, sf, "lineitem")
+           .where(F.col("l_quantity") >= 45).select("l_orderkey"))
+    return (o.join(hot, o.o_orderkey == hot.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority").agg(F.count("*").alias("order_count")))
+
+
+_SQL_ORDER_PRIORITY_COUNT = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority
+"""
+
+# ------------------------------------- A5: materialized posting lists
+
+def q_posting_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """Full inverted-index finalize (inverted.js:96-114): token -> sorted
+    posting list over gapped tpos, string-joined for cross-engine hashing.
+    Bounded to tokens with >= 50 postings (the whitelist two-job bound)."""
+    from .operators.postings import posting_lists
+    t = tpos.with_tpos(_doc_tokens(spark, sf))
+    p = posting_lists(t)
+    return (p.where(F.col("posting_length") >= 50)
+            .select("token",
+                    F.concat_ws(",", F.col("postings").cast("array<string>"))
+                    .alias("postings_str"),
+                    F.col("posting_length").cast("long").alias("posting_length")))
+
+
+_SQL_POSTING_LISTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS pos FROM t),
+docs AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+offs AS (SELECT doc_id,
+  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+  + {tpos.DOC_GAP} * (row_number() OVER (ORDER BY doc_id) - 1) AS off
+  FROM docs),
+wt AS (SELECT token, off + pos AS tpos FROM tok JOIN offs USING (doc_id))
+SELECT token, string_agg(tpos, ',' ORDER BY tpos) AS postings_str,
+       count(*)::BIGINT AS posting_length
+FROM wt GROUP BY token HAVING count(*) >= 50
+"""
+
+# --------------------------------------------- P7: latin normalization
+
+def q_normalize_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token normalize (inverted.js:46-48: strip diacritics + lowercase
+    before indexing) via the vectorized tokenizer kernel; oracle =
+    strip_accents(lower(x)). Output: distinct normalized tokens with
+    counts."""
+    from .tokenizer import normalize_latin_series
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            toks = pdf["text"].fillna("").str.split()
+            rows = toks.explode().dropna()
+            norm = normalize_latin_series(rows)
+            yield pd.DataFrame({"token": norm})
+
+    t = d.mapInPandas(run, schema="token string")
+    return (t.groupBy("token").agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= 10))
+
+
+_SQL_NORMALIZE_TOKENS = f"""
+WITH t AS (SELECT {_TOKS_SQL.format(col='text')} AS toks FROM documents),
+tok AS (SELECT strip_accents(lower(unnest(toks))) AS token FROM t)
+SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
+HAVING count(*) >= 10
+"""
+
 # ------------------------------------------- explicit skew handling
 
 def q_salted_source_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -534,6 +658,10 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "shipping_priority": q_shipping_priority,
+    "order_priority_count": q_order_priority_count,
+    "posting_lists": q_posting_lists,
+    "normalize_tokens": q_normalize_tokens,
     "salted_source_agg": q_salted_source_agg,
     "media_meta": q_media_meta,
     "media_features": q_media_features,
@@ -557,6 +685,10 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL_EXT: dict[str, str] = {
     "stream_hourly": _stream_hourly_sql(),
+    "shipping_priority": _SQL_SHIPPING_PRIORITY,
+    "order_priority_count": _SQL_ORDER_PRIORITY_COUNT,
+    "posting_lists": _SQL_POSTING_LISTS,
+    "normalize_tokens": _SQL_NORMALIZE_TOKENS,
     "salted_source_agg": _SQL_SALTED_SOURCE_AGG,
     "media_meta": _media_meta_sql(),
     "char_unigrams": _SQL_CHAR_UNIGRAMS,
