@@ -33,7 +33,9 @@ HEADLINE = (
     "keep_drop", "langid", "scrub", "doc_stats", "posting_stats",
     "bigram_counts", "exact_dedup", "minhash_pairs", "simhash",
     "pricing_summary", "top_customers", "sessionize", "events_hourly",
-    "asof_prev_error", "ann_topk",
+    "asof_prev_error", "ann_topk", "embed_neardup", "token_types",
+    "shipping_priority", "order_priority_count", "salted_source_agg",
+    "posting_lists", "ivf_topk", "media_meta",
 )
 
 

@@ -148,3 +148,74 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
             .select(id_col, F.round(cosine(F.col(vec_col), qcol), 6)
                     .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), id_col).limit(k))
+
+
+def block_cosine_pairs(embeddings: DataFrame, threshold: float,
+                       blocks: int = 8, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine >= threshold via BLOCK nested loop + numpy matmul.
+
+    The scale-true all-pairs plan: vectors are hashed into `blocks` buckets;
+    every unordered bucket pair (i <= j) becomes one group holding both
+    sides' vectors (2*blocks-fold replication through ONE shuffle), and each
+    group computes a dense (n_i x d) @ (d x n_j) product — the arithmetic
+    runs in BLAS, not per-pair expression evaluation. blocks ~ sqrt(tasks)
+    at cluster scale; replication factor is 2*blocks copies of the table.
+
+    Output: (id_a, id_b, cos_sim rounded to 6dp), id_a < id_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    blk = F.pmod(F.col(id_col), F.lit(blocks))
+    rng = spark.range(blocks)
+
+    # side A: vector in block i participates in groups (i, j) for j >= i
+    a = (embeddings.withColumn("__i", blk)
+         .join(rng.select(F.col("id").alias("__j")), F.col("__j") >= F.col("__i"))
+         .select("__i", "__j", F.lit(0).alias("__side"),
+                 F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")))
+    # side B: vector in block j participates in groups (i, j) for i <= j
+    b = (embeddings.withColumn("__j", blk)
+         .join(rng.select(F.col("id").alias("__i")), F.col("__i") <= F.col("__j"))
+         .select("__i", "__j", F.lit(1).alias("__side"),
+                 F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")))
+    both = a.unionByName(b)
+
+    thr = float(threshold)
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["__side"] == 0]
+        right = pdf[pdf["__side"] == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ida = left["__id"].to_numpy()
+        idb = right["__id"].to_numpy()
+        A = np.asarray(list(left["__v"]), dtype=np.float64)
+        Bm = np.asarray(list(right["__v"]), dtype=np.float64)
+        na = np.maximum(np.linalg.norm(A, axis=1), 1e-30)
+        nb = np.maximum(np.linalg.norm(Bm, axis=1), 1e-30)
+        # dot first, divide by the norm product after — the same formula
+        # shape as the SQL oracle (sum(ab) / (sqrt(aa)*sqrt(bb)))
+        sims = np.round((A @ Bm.T) / np.outer(na, nb), 6)
+        ia, ib = np.nonzero(sims >= thr)
+        u, v = ida[ia], idb[ib]
+        if pdf["__i"].iat[0] == pdf["__j"].iat[0]:
+            # diagonal group: both sides hold the same block — each
+            # unordered pair appears twice, keep the u < v orientation
+            keep = u < v
+            id_a, id_b = u[keep], v[keep]
+            cs = sims[ia, ib][keep]
+        else:
+            # off-diagonal: each unordered pair appears once; normalize
+            keep = u != v
+            id_a = np.minimum(u, v)[keep]
+            id_b = np.maximum(u, v)[keep]
+            cs = sims[ia, ib][keep]
+        return pd.DataFrame({"id_a": id_a.astype("int64"),
+                             "id_b": id_b.astype("int64"),
+                             "cos_sim": cs})
+
+    return (both.groupBy("__i", "__j")
+            .applyInPandas(pairs, schema="id_a long, id_b long, cos_sim double"))

@@ -682,3 +682,8 @@ ORACLE_SQL: dict[str, str] = {
     # minhash_pairs / simhash / pages_pipeline / lsh_topk: rows-only
 }
 ORACLE_SQL.update(ORACLE_SQL_EXT)
+
+from .queries_ext import QUALITY_SCORE_SQL_TEMPLATE  # noqa: E402
+
+ORACLE_SQL["quality_score"] = QUALITY_SCORE_SQL_TEMPLATE.format(
+    keep_drop_sql=_SQL_KEEP_DROP)

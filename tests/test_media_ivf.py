@@ -64,3 +64,18 @@ def test_ivf_assign_covers_all(spark):
     assert a.count() == e.count()
     cells = {r.cell for r in a.select("cell").distinct().collect()}
     assert cells <= set(range(8)) and len(cells) > 1
+
+
+def test_block_cosine_pairs_equals_brute(spark):
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    sim = F.round(ann.cosine(F.col("ea"), F.col("eb")), 6)
+    brute = {(r.id_a, r.id_b): r.cos_sim
+             for r in (a.join(b, F.col("id_a") < F.col("id_b"))
+                       .select("id_a", "id_b", sim.alias("cos_sim"))
+                       .where(F.col("cos_sim") >= 0.4).collect())}
+    blocked = {(r.id_a, r.id_b): r.cos_sim
+               for r in ann.block_cosine_pairs(e, 0.4, blocks=4).collect()}
+    assert blocked == brute and len(blocked) > 0

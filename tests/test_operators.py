@@ -152,3 +152,24 @@ def test_lsh_topk_recall(spark):
     # by construction; nbits trades candidates for recall)
     assert 0 in approx
     assert len(set(brute) & set(approx)) >= 3
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """Phase-1 of the salted aggregation must split a hot key into many
+    (key, salt) groups — that is the whole point."""
+    from pyspark.sql import functions as F
+
+    from ksana_corpus_builder_spark.operators.skew import salted_sum_agg
+
+    rows = [("hot", float(i)) for i in range(2000)] + [("cold", 1.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r.k: (r.sum_value, r.n)
+           for r in salted_sum_agg(df, "k", F.col("v"), salts=16).collect()}
+    assert out["hot"] == (sum(range(2000)), 2000)
+    assert out["cold"] == (1.0, 1)
+
+    # inspect phase-1 directly: the hot key must occupy >1 salt bucket
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(16))
+    p1 = (df.withColumn("s", salt).groupBy("k", "s").count()
+          .where(F.col("k") == "hot"))
+    assert p1.count() > 8  # 2000 rows over 16 salts: virtually all buckets hit
