@@ -599,6 +599,102 @@ SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
 HAVING count(*) >= 10
 """
 
+# ------------------------------ J2 full two-job: whitelist postings
+
+_WL_MIN = 20
+
+
+def q_whitelist_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's complete two-job bigram pattern: job 1 builds the
+    whitelist (count > minoccur), job 2 posts whitelisted bigrams at the
+    FIRST token's tpos (inverted.js:57-58 records at tPos-1) — whitelist
+    broadcast, postings aggregated per bigram."""
+    from .operators import bigram as bg
+    t = tpos.with_tpos(_doc_tokens(spark, sf))
+    wl = bg.bigram_counts(_doc_tokens(spark, sf), minoccur=_WL_MIN)
+    posted = bg.whitelist_postings(t, wl)
+    return (posted.groupBy("bigram")
+            .agg(F.count("*").alias("posting_length"),
+                 F.min("tpos").alias("min_tpos"),
+                 F.max("tpos").alias("max_tpos")))
+
+
+_SQL_WHITELIST_POSTINGS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL.format(col='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS pos FROM t),
+docs AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+offs AS (SELECT doc_id,
+  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+  + {tpos.DOC_GAP} * (row_number() OVER (ORDER BY doc_id) - 1) AS off
+  FROM docs),
+wt AS (SELECT tok.doc_id, token, pos, off + pos AS tpos
+       FROM tok JOIN offs USING (doc_id)),
+pairs AS (
+  SELECT prev || ' ' || token AS bigram, prev_tpos AS tpos
+  FROM (SELECT doc_id, token, pos,
+          lag(token) OVER w AS prev, lag(tpos) OVER w AS prev_tpos
+        FROM wt WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE prev IS NOT NULL),
+wl AS (SELECT bigram FROM pairs GROUP BY bigram HAVING count(*) > {_WL_MIN})
+SELECT bigram, count(*)::BIGINT AS posting_length,
+       min(tpos)::BIGINT AS min_tpos, max(tpos)::BIGINT AS max_tpos
+FROM pairs WHERE bigram IN (SELECT bigram FROM wl)
+GROUP BY bigram
+"""
+
+# ----------------------------------- broadcast as-of (searchsorted UDF)
+
+_ASOF_BOUNDS = [0, 50, 100, 200, 300, 400]
+
+
+def q_asof_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """The dim-side-tiny as-of strategy (rangejoin.asof_join_broadcast):
+    vectorized binary search per Arrow batch against broadcast sorted
+    boundaries — findArticle's bisect (romable.js:43-59) at batch scale."""
+    from .operators.rangejoin import asof_join_broadcast
+    e = load(spark, sf, "events").select("event_id", "value")
+    labels = [str(b) for b in _ASOF_BOUNDS]
+    out = asof_join_broadcast(e, _ASOF_BOUNDS, labels,
+                              fact_key="value", out_col="bucket_start")
+    return (out.groupBy("bucket_start")
+            .agg(F.count("*").alias("n"),
+                 F.min("event_id").alias("first_event")))
+
+
+_SQL_ASOF_BROADCAST = f"""
+WITH b AS (SELECT unnest({_ASOF_BOUNDS}) AS lo),
+x AS (SELECT event_id, (SELECT CAST(max(lo) AS VARCHAR) FROM b
+                        WHERE lo <= value) AS bucket_start
+      FROM events)
+SELECT bucket_start, count(*)::BIGINT AS n,
+       min(event_id)::BIGINT AS first_event
+FROM x GROUP BY bucket_start
+"""
+
+# ------------------------------------------- lineage metrics (rows-only)
+
+def q_lineage_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-partition lineage rows — the Spark buildMeta (index.js:293-318):
+    partition id, doc counts, rule-hit counts, scrub stats. Rows-only (the
+    partition split is engine-specific)."""
+    from .functions.quality import RULE_NAMES
+    from .plans import quality_pipeline as qp
+    docs = load(spark, sf, "documents")
+    result = qp.process_text_table(docs)
+    # reuse the pages-pipeline metrics shape over the documents table
+    rule_counts = F.map_from_arrays(
+        F.array(*[F.lit(r) for r in RULE_NAMES]),
+        F.array(*[F.sum(F.when(F.array_contains("rules_hit", r), 1)
+                        .otherwise(0)) for r in RULE_NAMES]))
+    return (result.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 rule_counts.alias("rule_hit_counts")))
+
+
 # ---------------------------------------------- P6: token-type census
 
 def q_token_types(spark: SparkSession, sf: str) -> DataFrame:
@@ -699,6 +795,9 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "whitelist_postings": q_whitelist_postings,
+    "asof_broadcast": q_asof_broadcast,
+    "lineage_metrics": q_lineage_metrics,
     "token_types": q_token_types,
     "shipping_priority": q_shipping_priority,
     "order_priority_count": q_order_priority_count,
@@ -727,6 +826,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL_EXT: dict[str, str] = {
     "stream_hourly": _stream_hourly_sql(),
+    "whitelist_postings": _SQL_WHITELIST_POSTINGS,
+    "asof_broadcast": _SQL_ASOF_BROADCAST,
     "token_types": _SQL_TOKEN_TYPES,
     "shipping_priority": _SQL_SHIPPING_PRIORITY,
     "order_priority_count": _SQL_ORDER_PRIORITY_COUNT,
