@@ -81,12 +81,20 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     |A∪B| = |A|+|B|-∩. The shingle join is the shuffle; hot shingles are
     the skew risk -> AQE skew-join + an optional frequency cap.
     """
-    sh = shingles(documents, n, id_col, text_col)
+    sh = (shingles(documents, n, id_col, text_col)
+          .select(id_col, F.xxhash64("shingle").alias("h")))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # shingles private to one document cannot co-occur — drop them BEFORE
+    # the quadratic self-join (sizes above already counted them, so |A∪B|
+    # stays exact). On real webtext most shingles are df=1, so this is the
+    # difference between joining the corpus and joining its shared core.
+    shared = (sh.groupBy("h").agg(F.count("*").alias("df"))
+              .where(F.col("df") >= 2).select("h"))
+    shf = sh.join(shared, "h")
+    a = shf.alias("a")
+    b = shf.alias("b")
     co = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                  F.col(f"b.{id_col}").alias("id_b"))
