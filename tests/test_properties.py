@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the pure kernels — the reference
+ships only two golden smoke tests (SURVEY §5); we add generative coverage
+for the codec, tokenizer, and scrub invariants."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ksana_corpus_builder_spark import codec, tokenizer
+
+PAT = codec.DEFAULT_PATTERN
+
+books = st.integers(min_value=1, max_value=(1 << PAT.bits[0]) - 1)
+pages = st.integers(min_value=0, max_value=(1 << PAT.pagebits) - 1)
+lines = st.integers(min_value=0, max_value=(1 << PAT.linebits) - 1)
+chars = st.integers(min_value=0, max_value=PAT.maxchar)
+
+
+@given(books, pages, lines, chars)
+def test_kpos_pack_unpack_roundtrip(b, p, ln, c):
+    assert codec.unpack(codec.pack(b, p, ln, c)) == (b, p, ln, c)
+
+
+@given(books, pages, lines, chars)
+def test_kpos_order_matches_tuple_order(b, p, ln, c):
+    k1 = codec.pack(b, p, ln, c)
+    k2 = codec.pack(b, p, ln, min(c + 1, PAT.maxchar))
+    assert (k1 <= k2) == ((b, p, ln, c) <= (b, p, ln, min(c + 1, PAT.maxchar)))
+
+
+@given(books, pages, lines, chars)
+def test_kpos_stringify_parse_roundtrip(b, p, ln, c):
+    # display format carries 2-digit line/char; constrain to displayable
+    if ln > 99 or c > 98:
+        return
+    k = codec.pack(b, p, ln, c)
+    assert codec.parse(codec.stringify(k)) == k
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200)
+def test_tokenizer_lossless(text):
+    """Concatenating all tokens reproduces the input exactly — the tokenizer
+    is a partition of the string (no char lost or invented)."""
+    toks = tokenizer.tokenize(text)
+    assert "".join(t for t, _ in toks) == text
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=200)
+def test_tokenizer_types_total(text):
+    for tok, typ in tokenizer.tokenize(text):
+        assert typ in tokenizer.TYPE_NAMES
+        assert len(tok) > 0
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100)
+def test_scrub_counts_match_replacements(text):
+    """Scrubbed text contains exactly as many placeholder tokens per rule
+    as the reported hit count (placeholders are distinct per rule)."""
+    import pandas as pd
+
+    from ksana_corpus_builder_spark.functions import scrub as S
+    out = S.scrub_series(pd.Series([text]))
+    scrubbed = out["text"].iloc[0]
+    for (name, _, repl) in S.SCRUB_RULES:
+        n = int(out[f"scrub_{name}"].iloc[0])
+        assert scrubbed.count(repl) >= n or n == 0
+
+
+@given(st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=50))
+@settings(max_examples=100)
+def test_indexable_tokens_positions_monotone(chars_):
+    text = "".join(chars_)
+    toks = tokenizer.indexable_tokens(text)
+    positions = [p for _, p, _ in toks]
+    assert positions == sorted(positions)
