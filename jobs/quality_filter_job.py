@@ -29,13 +29,28 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--config", default=None,
+                    help="JSON config file; CLI flags override its keys "
+                         "(the reference's <id>-corpus.json pattern)")
+    ap.add_argument("--input")
+    ap.add_argument("--output")
     ap.add_argument("--buckets", type=int, default=None,
                     help="url-hash repartition count (None = keep input)")
-    ap.add_argument("--snapshot-id", type=int, default=0)
+    ap.add_argument("--snapshot-id", type=int, default=None)
     ap.add_argument("--incremental", action="store_true")
     args = ap.parse_args()
+    if args.config:
+        with open(args.config) as f:
+            cfg = json.load(f)
+        for k in ("input", "output", "buckets", "snapshot_id"):
+            if getattr(args, k) is None and k in cfg:
+                setattr(args, k, cfg[k])
+        if not args.incremental and cfg.get("incremental"):
+            args.incremental = True
+    if args.snapshot_id is None:
+        args.snapshot_id = 0
+    if not args.input or not args.output:
+        ap.error("--input/--output required (via flags or --config)")
 
     spark = SparkSession.builder.appName("quality_filter_job").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")

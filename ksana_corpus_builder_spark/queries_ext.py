@@ -599,6 +599,54 @@ SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
 HAVING count(*) >= 10
 """
 
+# --------------------------------- session windows + exact median
+
+def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark-native session windows (F.session_window, 30-min gap) in BATCH
+    mode — per-user session list with bounds and event counts. Oracle:
+    classic gap-and-island SQL. Must agree with q_sessionize's session
+    count per user by construction."""
+    e = load(spark, sf, "events")
+    return (e.groupBy("user_id",
+                      F.session_window(F.col("ts"), "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event"))
+            .select("user_id",
+                    F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"),
+                    "n_events", "first_event"))
+
+
+_SQL_SESSION_WINDOWS = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp FROM x)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*)::BIGINT AS n_events, min(event_id)::BIGINT AS first_event
+FROM g GROUP BY user_id, grp
+"""
+
+
+def q_value_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median per event_type (Spark F.median == DuckDB median:
+    both interpolate the middle pair in double), rounded to 6dp."""
+    e = load(spark, sf, "events")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.median("value"), 6).alias("median_value"),
+                 F.count("*").alias("n")))
+
+
+_SQL_VALUE_MEDIAN = """
+SELECT event_type, round(median(value), 6) AS median_value,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+"""
+
 # ------------------------------ J2 full two-job: whitelist postings
 
 _WL_MIN = 20
@@ -795,6 +843,8 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "session_windows": q_session_windows,
+    "value_median": q_value_median,
     "whitelist_postings": q_whitelist_postings,
     "asof_broadcast": q_asof_broadcast,
     "lineage_metrics": q_lineage_metrics,
@@ -826,6 +876,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL_EXT: dict[str, str] = {
     "stream_hourly": _stream_hourly_sql(),
+    "session_windows": _SQL_SESSION_WINDOWS,
+    "value_median": _SQL_VALUE_MEDIAN,
     "whitelist_postings": _SQL_WHITELIST_POSTINGS,
     "asof_broadcast": _SQL_ASOF_BROADCAST,
     "token_types": _SQL_TOKEN_TYPES,

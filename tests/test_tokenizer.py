@@ -60,3 +60,29 @@ def test_bpe_ish_count():
     s = pd.Series(["hello world 42!", ""])
     # hello, world, 4, 2, ! -> 5
     assert list(tk.bpe_ish_token_count(s)) == [5, 0]
+
+
+def test_extract_with_default_rules_is_identical():
+    """U1 handler registry: DEFAULT_TAG_RULES must reproduce extract_text
+    byte-for-byte over the full synthetic pages corpus."""
+    import pandas as pd
+
+    from ksana_corpus_builder_spark.functions import text as T
+    from ksana_corpus_builder_spark.sources.pages import make_pages_pdf
+    pages = make_pages_pdf(300, seed=7)
+    a = T.extract_text(pages["html"])
+    b = T.extract_text_with_rules(pages["html"])
+    assert (a == b).all()
+
+
+def test_extract_custom_rules_change_behavior():
+    import pandas as pd
+
+    from ksana_corpus_builder_spark.functions import text as T
+    html = pd.Series(["<html><body><p>keep</p><aside>noise</aside></body></html>"])
+    default = T.extract_text_with_rules(html)
+    custom = T.extract_text_with_rules(
+        html, dict(T.DEFAULT_TAG_RULES, aside="drop"))
+    assert "noise" in default.iloc[0]
+    assert "noise" not in custom.iloc[0]
+    assert "keep" in custom.iloc[0]
