@@ -453,11 +453,15 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     l = load(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
     disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(38,4)") - _dec("l_discount"))
     charge = disc_price * (F.lit(1).cast("decimal(38,4)") + _dec("l_tax"))
+    # high-scale decimal sums (scale 8/12 products) are rounded to 2dp
+    # decimal BEFORE the double cast: DuckDB's int128/10^12 conversion can
+    # land 1 ulp away from Spark's correctly-rounded BigDecimal cast, but
+    # a 2dp decimal converts identically in both engines.
     return (l.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
         (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
         F.count("*").alias("count_order")))
 
@@ -466,12 +470,12 @@ _SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))
-           * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))) AS DOUBLE)
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+           * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))), 2) AS DOUBLE)
     AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))
            * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))
-           * (CAST(1 AS DECIMAL(38,4)) + CAST(l_tax AS DECIMAL(38,4)))) AS DOUBLE)
+           * (CAST(1 AS DECIMAL(38,4)) + CAST(l_tax AS DECIMAL(38,4)))), 2) AS DOUBLE)
     AS sum_charge,
   CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / count(*) AS avg_qty,
   count(*)::BIGINT AS count_order

@@ -494,15 +494,15 @@ def q_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.sum(rev).alias("revenue_d"))
             .select("l_orderkey",
                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-                    F.col("revenue_d").cast("double").alias("revenue"))
+                    F.round("revenue_d", 2).cast("double").alias("revenue"))
             .orderBy(F.desc("revenue_d"), "l_orderkey").limit(10))
 
 
 _SQL_SHIPPING_PRIORITY = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))
-                * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4))))
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+                * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))), 2)
             AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
