@@ -46,20 +46,22 @@ def doc_offsets(tokens: DataFrame, id_col: str = "doc_id",
 
 def doc_offsets_hierarchical(tokens: DataFrame, id_col: str = "doc_id",
                              gap: int = DOC_GAP, chunks: int = 64) -> DataFrame:
-    """Scale path: same offsets without a single global window.
+    """Scale path: IDENTICAL offsets to :func:`doc_offsets` without a single
+    global window (asserted equal in tests).
 
-    Chunk docs by a deterministic range of id (here: pmod(hash-free id
-    bucketing via ntile is NOT deterministic — we use id ranges from an
-    aggregate), prefix-sum inside each chunk, then prefix-sum the chunk
-    totals (a `chunks`-row table) and broadcast-add.
+    Chunk docs by id RANGE (chunk = id div width, width from one scalar
+    max-id lookup), so ordering by (chunk, id) IS the global id order.
+    Prefix-sum inside each chunk (windows partitioned by chunk -> every
+    task bounded), then prefix-sum the `chunks`-row chunk totals and
+    broadcast-add. At 10^12 docs set chunks so each chunk's doc dim fits
+    one task (e.g. 10^5 chunks of 10^7 docs).
     """
     counts = tokens.groupBy(id_col).agg(F.count("*").alias("n_tok"))
-    # deterministic chunking: global rank is what we ultimately need; use
-    # range partitioning on id, window WITHIN each chunk only.
-    chunked = counts.withColumn("chunk", F.abs(F.pmod(F.col(id_col), F.lit(chunks))))
-    # NOTE: pmod keeps determinism but interleaves ranks; for strict id-order
-    # semantics use range boundaries. For the gap pattern any deterministic
-    # total order works — we define the order as (chunk, id), documented.
+    lo, hi = counts.agg(F.min(id_col), F.max(id_col)) \
+                   .collect()[0]  # collect-ok: two scalars (chunk bounds)
+    width = max(1, (int(hi) - int(lo)) // chunks + 1)
+    chunked = counts.withColumn(
+        "chunk", ((F.col(id_col) - F.lit(int(lo))) / F.lit(width)).cast("long"))
     w_in = (Window.partitionBy("chunk").orderBy(id_col)
             .rowsBetween(Window.unboundedPreceding, -1))
     w_rn = Window.partitionBy("chunk").orderBy(id_col)

@@ -37,13 +37,27 @@ def test_tpos_hierarchical_chunks1_matches(spark):
 
 
 def test_tpos_hierarchical_valid_gaps(spark):
-    # any deterministic total order is fine; offsets must be distinct and
-    # leave >= gap + n_tok room between consecutive docs
+    # offsets must be distinct and leave >= gap + n_tok room between docs
     d = _docs(spark, [(i, "w " * 5) for i in range(20)])
     tk = tokens.word_tokens(d)
     offs = sorted(r.tpos_offset for r in tpos.doc_offsets_hierarchical(tk, chunks=4).collect())
     assert len(set(offs)) == 20
     assert all(b - a >= 505 for a, b in zip(offs, offs[1:]))
+
+
+def test_tpos_hierarchical_identical_any_chunking(spark):
+    """Range chunking preserves global id order, so the scale path gives
+    EXACTLY the offsets of the single-window path for every chunk count —
+    the property that makes the swap safe on a cluster."""
+    d = _docs(spark, [(i * 7 + 3, "w " * ((i % 5) + 1)) for i in range(40)])
+    tk = tokens.word_tokens(d)
+    want = [(r.doc_id, r.tpos_offset)
+            for r in tpos.doc_offsets(tk).orderBy("doc_id").collect()]
+    for chunks in (1, 3, 8, 64):
+        got = [(r.doc_id, r.tpos_offset)
+               for r in tpos.doc_offsets_hierarchical(tk, chunks=chunks)
+               .orderBy("doc_id").collect()]
+        assert got == want, f"chunks={chunks}"
 
 
 def test_posting_lists_sorted(spark):
