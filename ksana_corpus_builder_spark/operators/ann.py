@@ -71,10 +71,13 @@ def lsh_bucket(embeddings: DataFrame, nbits: int = 12, dim: int = 64,
 
 
 def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
-             nbits: int = 8, id_col: str = "vec_id",
+             nbits: int = 8, multiprobe: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """ANN: score only vectors in the query's bucket (at scale: multi-probe
-    neighboring buckets; here exact-bucket only — recall measured in tests)."""
+    """ANN: score only vectors in the query's bucket, plus (multiprobe >= 1)
+    every bucket within Hamming distance `multiprobe` of it — the classic
+    multi-probe LSH recall lever: probing C(nbits,1) extra buckets beats
+    doubling tables for the same cost. Bucket membership is a partition-
+    prunable predicate on a stored table at scale."""
     dim = len(query_vec)
     bucketed = lsh_bucket(embeddings, nbits, dim, vec_col)
     planes = _hyperplanes(dim, nbits)
@@ -82,8 +85,13 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     for i, p in enumerate(planes):
         if sum(x * y for x, y in zip(query_vec, p)) > 0:
             qb |= 1 << i
+    probes = {qb}
+    frontier = {qb}
+    for _ in range(max(0, multiprobe)):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(nbits)}
+        probes |= frontier
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (bucketed.where(F.col("bucket") == qb)
+    return (bucketed.where(F.col("bucket").isin([int(b) for b in sorted(probes)]))
             .select(id_col, cosine(F.col(vec_col), q).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), id_col).limit(k))
 

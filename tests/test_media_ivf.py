@@ -79,3 +79,20 @@ def test_block_cosine_pairs_equals_brute(spark):
     blocked = {(r.id_a, r.id_b): r.cos_sim
                for r in ann.block_cosine_pairs(e, 0.4, blocks=4).collect()}
     assert blocked == brute and len(blocked) > 0
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [r[0] for r in
+          e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    brute = {r.vec_id for r in ann.brute_force_topk(e, qv, k=10).collect()}
+    r0 = {r.vec_id for r in ann.lsh_topk(e, qv, k=10, nbits=6,
+                                         multiprobe=0).collect()}
+    r1 = {r.vec_id for r in ann.lsh_topk(e, qv, k=10, nbits=6,
+                                         multiprobe=1).collect()}
+    r2 = {r.vec_id for r in ann.lsh_topk(e, qv, k=10, nbits=6,
+                                         multiprobe=2).collect()}
+    assert len(r1 & brute) >= len(r0 & brute)  # probing never hurts recall
+    assert len(r2 & brute) >= len(r1 & brute)
+    assert len(r2 & brute) >= 5  # 2-probe reaches decent recall on 500 vecs
