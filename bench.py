@@ -5,15 +5,15 @@ Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec}, "sf": ..., "docs_per_sec": ...}
 
---scaling: the north-rule two-cluster-size evidence. Stages a
-Common-Crawl-shaped pages table (url, warc_ts, html, text, lang; default
-40k pages, 64 parquet files) ONCE, then runs the identical full pipeline
+--scaling: the north-rule cluster-size evidence. Stages a Common-Crawl-
+shaped pages table (url, warc_ts, html, text, lang; SPARK_GRAFT_SCALE_N
+pages, 64 parquet files) ONCE, then runs the identical full pipeline
 (html extraction + langid + rules + perplexity + scrub) over the same
-files at local[8] and local[32] in fresh subprocesses (new JVM each —
-master is immutable per JVM) and reports docs/sec at both plus scaling
-efficiency = (thr_32/thr_8) / (32/8), target >= 0.8 (BASELINE.md).
-Both runs read the same 64 splits (maxPartitionBytes pinned small so
-file-split count, like a real cluster scan, is cluster-size-independent).
+files at each level of SPARK_GRAFT_SCALE_CPUS (default 2,8,32) in fresh
+subprocesses (new JVM each — master is immutable per JVM) and reports
+docs/sec per level plus pairwise N->4N efficiencies (target >= 0.8,
+BASELINE.md). All runs read the same splits (maxPartitionBytes pinned so
+split count, like a real cluster scan, is cluster-size-independent).
 """
 
 from __future__ import annotations
@@ -44,9 +44,13 @@ def _count(df) -> int:
 
 
 def run_pipeline(spark, sf_dir: str) -> tuple[int, float]:
-    """The flagship: fused single-pass quality filter over documents."""
+    """The flagship: fused single-pass quality filter over documents.
+    The sf testdata is ONE small parquet file => one input split; spread it
+    first (at 100 TB the scan has thousands of splits and this repartition
+    disappears). CPUS//2 measured fastest at this tiny scale — beyond that
+    per-task overhead outweighs parallelism on 5k docs."""
     from ksana_corpus_builder_spark.plans.quality_pipeline import process_text_table
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(max(8, CPUS // 2))
     t0 = time.perf_counter()
     n = process_text_table(docs).count()
     return n, time.perf_counter() - t0
