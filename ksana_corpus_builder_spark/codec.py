@@ -101,21 +101,30 @@ def next_line_start(kpos: int, pat: AddressPattern = DEFAULT_PATTERN) -> int:
 
 
 def stringify(kpos: int, pat: AddressPattern = DEFAULT_PATTERN) -> str:
-    """Human form ``{book}p{page}.{line:02d}{ch+1:02d}`` (1-based char display,
-    matching the observed reference format ``"1p3.0102-04"``)."""
+    """Human form ``{book}p{page+1}.{line+1:02d}{ch:02d}``.
+
+    Convention derived from reference source, not guessed: pb stores page
+    0-based (``format.js:19`` makeKPos(book, page-1, 0, 0)), newLine stores
+    line 0-based (``parsepre.js:53`` _pbline+1 after line 0), the rend
+    range is makeRange(kpos_at_open, kPos_at_close) with ch counting
+    concrete TOKENS (``index.js:177-186``), and the golden assert
+    ``"1p3.0102-04"`` (test-parsepre.js:13-14) for the <kai> on page 3
+    (stored 2), line 1 (stored 0), token-chars [2,4) therefore fixes the
+    display as: book raw, page+1, line+1, ch raw, range end EXCLUSIVE."""
     book, page, line, ch = unpack(kpos, pat)
-    return f"{book}p{page}.{line:02d}{ch + 1:02d}"
+    return f"{book}p{page + 1}.{line + 1:02d}{ch:02d}"
 
 
 def stringify_range(start: int, end: int, pat: AddressPattern = DEFAULT_PATTERN) -> str:
-    """``"1p3.0102-04"`` — same book/page/line prefix elided on the end side."""
-    sb, sp, sl, sc = unpack(start, pat)
+    """``"1p3.0102-04"`` — end exclusive; shared book/page/line prefix
+    elided on the end side."""
+    sb, sp, sl, _sc = unpack(start, pat)
     eb, ep, el, ec = unpack(end, pat)
     s = stringify(start, pat)
     if (sb, sp, sl) == (eb, ep, el):
-        return f"{s}-{ec + 1:02d}"
+        return f"{s}-{ec:02d}"
     if (sb, sp) == (eb, ep):
-        return f"{s}-{el:02d}{ec + 1:02d}"
+        return f"{s}-{el + 1:02d}{ec:02d}"
     return f"{s}-{stringify(end, pat)}"
 
 
@@ -123,8 +132,8 @@ def parse(s: str, pat: AddressPattern = DEFAULT_PATTERN) -> int:
     """Inverse of :func:`stringify` (position part only, no range)."""
     bookpage, linech = s.split(".")
     book_s, page_s = bookpage.split("p")
-    line, ch = int(linech[:2]), int(linech[2:4]) - 1
-    return pack(int(book_s), int(page_s), line, ch, pat)
+    line, ch = int(linech[:2]) - 1, int(linech[2:4])
+    return pack(int(book_s), int(page_s) - 1, line, ch, pat)
 
 
 def parse_range(s: str, pat: AddressPattern = DEFAULT_PATTERN) -> tuple[int, int]:
@@ -137,8 +146,8 @@ def parse_range(s: str, pat: AddressPattern = DEFAULT_PATTERN) -> tuple[int, int
     if "." in tail:
         return start, parse(tail, pat)
     if len(tail) == 2:
-        return start, pack(b, p, ln, int(tail) - 1, pat)
-    return start, pack(b, p, int(tail[:2]), int(tail[2:4]) - 1, pat)
+        return start, pack(b, p, ln, int(tail), pat)
+    return start, pack(b, p, int(tail[:2]) - 1, int(tail[2:4]), pat)
 
 
 # ---------------------------------------------------------------- Spark side

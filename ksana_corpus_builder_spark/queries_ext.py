@@ -599,6 +599,49 @@ SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
 HAVING count(*) >= 10
 """
 
+# --------------------------- P1/P8/P9: pre-format parse -> line table
+
+def q_preparse_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents wrapped as pre-format markup ('<pb n="1"/>' + text) and
+    run through the reference-faithful parser (functions/preparse.py):
+    leading blank lines eaten, interior blanks stored as ' ', trailing
+    blanks dropped (reference makeLine/putLine/finalizeTexts semantics,
+    golden-tested against the reference's own fixture). The oracle
+    replicates exactly that line algebra in SQL."""
+    import pandas as pd
+
+    from .functions.preparse import parse_pre
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            ids, lines, texts_out = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                parsed = parse_pre('<pb n="1"/>\n' + text)
+                if not parsed.texts:
+                    continue
+                for ln, s in enumerate(parsed.texts[0][0]):
+                    ids.append(doc_id)
+                    lines.append(ln)
+                    texts_out.append(s)
+            yield pd.DataFrame({"doc_id": ids, "line": lines,
+                                "text_line": texts_out})
+
+    return d.mapInPandas(run, schema="doc_id long, line long, text_line string")
+
+
+_SQL_PREPARSE_LINES = """
+WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+ix AS (SELECT doc_id, ls,
+         list_filter(range(1, len(ls) + 1), i -> ls[i] <> '') AS ne
+       FROM t),
+b AS (SELECT doc_id, ls, list_min(ne) AS f, list_max(ne) AS l
+      FROM ix WHERE len(ne) > 0)
+SELECT doc_id, (i - f)::BIGINT AS line,
+       CASE WHEN ls[i] = '' THEN ' ' ELSE ls[i] END AS text_line
+FROM b, unnest(range(f, l + 1)) AS u(i)
+"""
+
 # --------------------------------- session windows + exact median
 
 def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
@@ -843,6 +886,7 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "preparse_lines": q_preparse_lines,
     "session_windows": q_session_windows,
     "value_median": q_value_median,
     "whitelist_postings": q_whitelist_postings,
@@ -876,6 +920,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL_EXT: dict[str, str] = {
     "stream_hourly": _stream_hourly_sql(),
+    "preparse_lines": _SQL_PREPARSE_LINES,
     "session_windows": _SQL_SESSION_WINDOWS,
     "value_median": _SQL_VALUE_MEDIAN,
     "whitelist_postings": _SQL_WHITELIST_POSTINGS,

@@ -25,14 +25,21 @@ def test_ordering_is_lexicographic(book, page, line, ch):
 
 
 def test_stringify_reference_format():
-    # the reference round-trip: range on book 1 page 3 line 1 chars 2-4
-    # stringifies as "1p3.0102-04" (test-parsepre.js:13-14)
-    start = codec.pack(1, 3, 1, 1)  # 0-based char 1 -> display 02
-    end = codec.pack(1, 3, 1, 3)    # 0-based char 3 -> display 04
+    # the reference golden range (test-parsepre.js:13-14): <kai> on page 3
+    # (stored 0-based 2), line 1 (stored 0), concrete-token chars [2, 4)
+    # -> "1p3.0102-04" (display: book raw, page+1, line+1, ch raw,
+    # end exclusive; derivation in codec.stringify docstring)
+    start = codec.pack(1, 2, 0, 2)
+    end = codec.pack(1, 2, 0, 4)
     assert codec.stringify(start) == "1p3.0102"
     assert codec.stringify_range(start, end) == "1p3.0102-04"
     assert codec.parse("1p3.0102") == start
     assert codec.parse_range("1p3.0102-04") == (start, end)
+    # prefix elision across lines and pages
+    assert codec.stringify_range(codec.pack(1, 2, 0, 2),
+                                 codec.pack(1, 2, 3, 1)) == "1p3.0102-0401"
+    assert codec.parse_range("1p3.0102-0401") == (
+        codec.pack(1, 2, 0, 2), codec.pack(1, 2, 3, 1))
 
 
 def test_book_helpers():

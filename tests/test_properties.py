@@ -32,7 +32,7 @@ def test_kpos_order_matches_tuple_order(b, p, ln, c):
 @given(books, pages, lines, chars)
 def test_kpos_stringify_parse_roundtrip(b, p, ln, c):
     # display format carries 2-digit line/char; constrain to displayable
-    if ln > 99 or c > 98:
+    if ln > 98 or c > 99:
         return
     k = codec.pack(b, p, ln, c)
     assert codec.parse(codec.stringify(k)) == k
