@@ -63,7 +63,11 @@ class PreParsed:
 
 
 class _State:
-    def __init__(self, rend_class: tuple[str, ...]):
+    def __init__(self, rend_class: tuple[str, ...] = (),
+                 skip_leading_nl: bool = True):
+        # pre format skips the first newline of a fresh page
+        # (parsepre.js:52); htll does not (parsehtll.js:27-35)
+        self.skip_leading_nl = skip_leading_nl
         self.rend_class = set(rend_class)
         self.book = 0
         self.pb = None
@@ -128,7 +132,8 @@ class _State:
             if kind == "nl":
                 if self.pb is None:
                     continue  # newlines before the first pb are inert
-                if self.kcount == 0 and self.pbline == 0:
+                if (self.skip_leading_nl and self.kcount == 0
+                        and self.pbline == 0):
                     continue  # skip leading newline on a fresh page
                 self.new_line(self.pb - 1, self.pbline + 1)
                 self.pbline += 1

@@ -599,6 +599,57 @@ SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
 HAVING count(*) >= 10
 """
 
+# ------------------- F3/P6/P7: type-gated indexing with real tokenizer
+
+def q_indexed_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's putTokens gating (inverted.js:33-53) with the real
+    tokenizer: SPACE consumes nothing, PUNC/NUMBER consume a token
+    position but are NOT indexed, LATIN is normalized (NFD-strip+lower)
+    before indexing, CJK indexed per character. sum_pos proves the
+    position assignment matches, not just the counts."""
+    import pandas as pd
+
+    from .tokenizer import indexable_tokens
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            toks, poss = [], []
+            for text in pdf["text"].fillna(""):
+                for tk, pos, _typ in indexable_tokens(text):
+                    toks.append(tk)
+                    poss.append(pos)
+            yield pd.DataFrame({"token": toks, "pos": poss})
+
+    t = d.mapInPandas(run, schema="token string, pos long")
+    return (t.groupBy("token")
+            .agg(F.count("*").alias("posting_length"),
+                 F.sum("pos").alias("sum_pos"))
+            .where(F.col("posting_length") >= 20))
+
+
+_LATIN_SQL = "[A-Za-z\\x{00C0}-\\x{024F}\\x{1E00}-\\x{1EFF}'']+"
+_CJK_SQL = "[\\x{4e00}-\\x{9fff}]"
+_SQL_INDEXED_POSTINGS = f"""
+WITH raw AS (
+  SELECT doc_id,
+    regexp_extract_all(text,
+      '[0-9]+|{_LATIN_SQL}|{_CJK_SQL}|[^\\s]') AS toks
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM raw),
+indexed AS (
+  SELECT CASE WHEN regexp_full_match(tok, '{_CJK_SQL}') THEN tok
+              ELSE strip_accents(lower(tok)) END AS token, pos
+  FROM pos
+  WHERE regexp_full_match(tok, '{_LATIN_SQL}|{_CJK_SQL}'))
+SELECT token, count(*)::BIGINT AS posting_length,
+       sum(pos)::BIGINT AS sum_pos
+FROM indexed GROUP BY token HAVING count(*) >= 20
+"""
+
 # --------------------------- P1/P8/P9: pre-format parse -> line table
 
 def q_preparse_lines(spark: SparkSession, sf: str) -> DataFrame:
@@ -886,6 +937,7 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "indexed_postings": q_indexed_postings,
     "preparse_lines": q_preparse_lines,
     "session_windows": q_session_windows,
     "value_median": q_value_median,
@@ -920,6 +972,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL_EXT: dict[str, str] = {
     "stream_hourly": _stream_hourly_sql(),
+    "indexed_postings": _SQL_INDEXED_POSTINGS,
     "preparse_lines": _SQL_PREPARSE_LINES,
     "session_windows": _SQL_SESSION_WINDOWS,
     "value_median": _SQL_VALUE_MEDIAN,
