@@ -39,7 +39,10 @@ from dataclasses import dataclass, field
 from .. import codec
 from ..tokenizer import SPACE, _GROUP_TYPE
 
-_TAG_RE = re.compile(r"<(/?)([A-Za-z][\w]*)((?:\s+[\w:.-]+=\"[^\"]*\")*)\s*(/?)>")
+# tag names may be CJK (accelon3 頁/段/註/釋 — parseaccelon3.js:11-13)
+_TAG_RE = re.compile(
+    r"<(/?)([A-Za-z\u4e00-\u9fff][\w\u4e00-\u9fff]*)"
+    r"((?:\s+[\w:.-]+=\"[^\"]*\")*)\s*(/?)>")
 _ATTR_RE = re.compile(r"([\w:.-]+)=\"([^\"]*)\"")
 
 # newline must be its own token (the reference tokenizer emits lone "\n"
