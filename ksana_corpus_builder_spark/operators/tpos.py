@@ -98,3 +98,32 @@ def with_tpos(tokens: DataFrame, id_col: str = "doc_id",
         .withColumn("tpos", F.col("tpos_offset") + F.col(pos_col))
         .drop("tpos_offset")
     )
+
+
+BOOK_GAP = 1000  # reference putBookPos gap (inverted.js:3-6)
+
+
+def doc_offsets_with_books(tokens: DataFrame, book_col: str = "book",
+                           id_col: str = "doc_id",
+                           doc_gap: int = DOC_GAP,
+                           book_gap: int = BOOK_GAP) -> DataFrame:
+    """The reference's EXACT dual-level gap semantics: the global counter
+    reserves +1000 per book (inverted.js:3-6) AND +500 per article
+    (inverted.js:85-89). Same two-pass prefix-sum pattern as doc_offsets,
+    ordered by (book, doc) — deterministic under any partitioning.
+
+    tpos(doc) = sum(tokens of docs before it) + doc_gap * rank(doc)
+                + book_gap * rank(book of doc, 1-based)
+    """
+    counts = tokens.groupBy(book_col, id_col).agg(F.count("*").alias("n_tok"))
+    w = (Window.orderBy(book_col, id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    w_rn = Window.orderBy(book_col, id_col)
+    book_rank = F.dense_rank().over(Window.orderBy(book_col))
+    return counts.select(
+        book_col, id_col,
+        (F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+         + F.lit(doc_gap) * (F.row_number().over(w_rn) - 1)
+         + F.lit(book_gap) * book_rank
+         ).alias("tpos_offset"),
+    )

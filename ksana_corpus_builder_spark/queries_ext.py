@@ -599,6 +599,44 @@ SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
 HAVING count(*) >= 10
 """
 
+# ----------------- W1 exact: dual book/article gaps (+1000 / +500)
+
+def q_book_tpos_map(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's EXACT dual-gap counter: +1000 reserved per book,
+    +500 per article (inverted.js:3-6, 85-89). Books derived as
+    doc_id // 50; per-book tpos extents = the book2tpos coordinate map."""
+    from .operators.tpos import doc_offsets_with_books
+    t = _doc_tokens(spark, sf).withColumn(
+        "book", (F.col("doc_id") / 50).cast("long"))
+    offs = doc_offsets_with_books(t)
+    wt = (t.join(F.broadcast(offs), ["book", "doc_id"])
+          .withColumn("tpos", F.col("tpos_offset") + F.col("pos")))
+    return wt.groupBy("book").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_tokens"),
+        F.min("tpos").alias("min_tpos"), F.max("tpos").alias("max_tpos"))
+
+
+_SQL_BOOK_TPOS_MAP = f"""
+WITH t AS (SELECT doc_id, CAST(doc_id // 50 AS BIGINT) AS book,
+                  {_TOKS_SQL.format(col='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, book, unnest(toks) AS token,
+               unnest(range(1, len(toks) + 1)) AS pos FROM t),
+docs AS (SELECT book, doc_id, count(*) AS n_tok FROM tok GROUP BY 1, 2),
+offs AS (SELECT book, doc_id,
+  coalesce(sum(n_tok) OVER (ORDER BY book, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+  + {tpos.DOC_GAP} * (row_number() OVER (ORDER BY book, doc_id) - 1)
+  + 1000 * dense_rank() OVER (ORDER BY book) AS off
+  FROM docs),
+wt AS (SELECT tok.book, tok.doc_id, off + pos AS tpos
+       FROM tok JOIN offs USING (book, doc_id))
+SELECT book, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_tokens,
+       min(tpos)::BIGINT AS min_tpos, max(tpos)::BIGINT AS max_tpos
+FROM wt GROUP BY book
+"""
+
 # ------------------- F3/P6/P7: type-gated indexing with real tokenizer
 
 def q_indexed_postings(spark: SparkSession, sf: str) -> DataFrame:
@@ -937,6 +975,7 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "book_tpos_map": q_book_tpos_map,
     "indexed_postings": q_indexed_postings,
     "preparse_lines": q_preparse_lines,
     "session_windows": q_session_windows,
@@ -972,6 +1011,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL_EXT: dict[str, str] = {
     "stream_hourly": _stream_hourly_sql(),
+    "book_tpos_map": _SQL_BOOK_TPOS_MAP,
     "indexed_postings": _SQL_INDEXED_POSTINGS,
     "preparse_lines": _SQL_PREPARSE_LINES,
     "session_windows": _SQL_SESSION_WINDOWS,
