@@ -41,10 +41,16 @@ for _li, _lang in enumerate(LANGS):
         _W2L[_w] = _W2L.get(_w, ()) + (_li,)
 
 
-def detect(texts: pd.Series) -> pd.DataFrame:
-    """-> DataFrame(lang_detected, lang_hits, n_words) — vectorized kernel."""
+def detect(texts: pd.Series, words: pd.Series | None = None) -> pd.DataFrame:
+    """-> DataFrame(lang_detected, lang_hits, n_words) — vectorized kernel.
+
+    ``words`` (case-preserving split) lets the fused pipeline share one
+    split across kernels: lowercasing per word inside the counting loop is
+    provably identical to lower-then-split (whitespace is case-invariant).
+    """
     t = texts.fillna("")
-    words = t.str.lower().str.split()
+    if words is None:
+        words = t.str.split()
     n_words = words.str.len().fillna(0).astype(np.int64)
 
     get = _W2L.get
@@ -53,7 +59,7 @@ def detect(texts: pd.Series) -> pd.DataFrame:
     def count_all(ws: list[str]) -> list[int]:
         c = [0] * nl
         for w in ws:
-            ls = get(w)
+            ls = get(w.lower())
             if ls:
                 for li in ls:
                     c[li] += 1

@@ -52,10 +52,12 @@ STOPWORDS = (
 )
 
 
-def word_stats(texts: pd.Series) -> pd.DataFrame:
-    """Vectorized per-doc stats. One str.split, then numpy over the lists."""
+def word_stats(texts: pd.Series, words: pd.Series | None = None) -> pd.DataFrame:
+    """Vectorized per-doc stats. One str.split, then numpy over the lists.
+    ``words`` lets the fused pipeline share a single split across kernels."""
     t = texts.fillna("")
-    words = t.str.split()
+    if words is None:
+        words = t.str.split()
     sw = frozenset(STOPWORDS)
 
     def per_doc(ws: list[str]) -> tuple[int, int, int, int, int]:
@@ -107,9 +109,10 @@ def rule_flags(stats: pd.DataFrame) -> pd.DataFrame:
     }, index=stats.index)
 
 
-def rules_hit_and_keep(texts: pd.Series) -> pd.DataFrame:
+def rules_hit_and_keep(texts: pd.Series,
+                       words: pd.Series | None = None) -> pd.DataFrame:
     """text -> (keep: bool, rules_hit: list[str]) — the oracle's label kernel."""
-    flags = rule_flags(word_stats(texts))
+    flags = rule_flags(word_stats(texts, words))
     m = flags[RULE_NAMES].to_numpy()  # one bool matrix, no row-wise apply
     names = np.array(RULE_NAMES, dtype=object)
     hits = pd.Series([list(names[row]) for row in m], index=texts.index)

@@ -53,8 +53,9 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     with the golden oracle (oracle/golden.py), which is how byte-identity
     and F1=1.0 are achieved by construction and verified by test."""
     text = extract_text(pdf["html"])
-    labels = Q.rules_hit_and_keep(text)
-    lang = L.detect(text)
+    words = text.str.split()  # ONE split shared by rules + langid
+    labels = Q.rules_hit_and_keep(text, words)
+    lang = L.detect(text, words)
     scrubbed = S.scrub_series(text)
     out = pd.DataFrame({
         "url": pdf["url"],
@@ -108,8 +109,9 @@ def process_text_table(docs: DataFrame, id_col: str = "doc_id",
             if not len(pdf):
                 continue
             text = pdf[text_col].fillna("")
-            lab = Q.rules_hit_and_keep(text)
-            lang = L.detect(text)
+            words = text.str.split()  # ONE split shared by rules + langid
+            lab = Q.rules_hit_and_keep(text, words)
+            lang = L.detect(text, words)
             sc = S.scrub_series(text)
             out = pd.DataFrame({
                 "doc_id": pdf[id_col],
