@@ -599,6 +599,56 @@ SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
 HAVING count(*) >= 10
 """
 
+# --------------------------- A12 + §2.8 + C7: rollup, intersect, base36
+
+def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy totals (A12 — absent in the reference, built-in
+    in Catalyst)."""
+    o = load(spark, sf, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+_SQL_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_intersect_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT (§2.8): sources that publish both short and long docs."""
+    d = load(spark, sf, "documents")
+    short = d.where(F.col("n_chars") < 200).select("source").distinct()
+    long_ = d.where(F.col("n_chars") >= 400).select("source").distinct()
+    return short.intersect(long_)
+
+
+_SQL_INTERSECT_SOURCES = """
+SELECT DISTINCT source FROM documents WHERE n_chars < 200
+INTERSECT
+SELECT DISTINCT source FROM documents WHERE n_chars >= 400
+"""
+
+
+def q_base36_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Base-36 round-trip (C7: the reference parses base-36 ids,
+    handlers.js:26-27, tree.js:2-7): event ids encoded and decoded."""
+    e = load(spark, sf, "events").where(F.col("event_id") % 97 == 0)
+    b36 = F.conv(F.col("event_id").cast("string"), 10, 36)
+    return e.select(
+        "event_id", b36.alias("id36"),
+        F.conv(b36, 36, 10).cast("long").alias("id_back"))
+
+
+_SQL_BASE36_IDS = """
+SELECT event_id, to_base(event_id, 36) AS id36,
+       event_id::BIGINT AS id_back
+FROM events WHERE event_id % 97 = 0
+"""
+
 # ----------------- W1 exact: dual book/article gaps (+1000 / +500)
 
 def q_book_tpos_map(spark: SparkSession, sf: str) -> DataFrame:
@@ -975,6 +1025,9 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "rollup_orders": q_rollup_orders,
+    "intersect_sources": q_intersect_sources,
+    "base36_ids": q_base36_ids,
     "book_tpos_map": q_book_tpos_map,
     "indexed_postings": q_indexed_postings,
     "preparse_lines": q_preparse_lines,
@@ -1011,6 +1064,9 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL_EXT: dict[str, str] = {
     "stream_hourly": _stream_hourly_sql(),
+    "rollup_orders": _SQL_ROLLUP_ORDERS,
+    "intersect_sources": _SQL_INTERSECT_SOURCES,
+    "base36_ids": _SQL_BASE36_IDS,
     "book_tpos_map": _SQL_BOOK_TPOS_MAP,
     "indexed_postings": _SQL_INDEXED_POSTINGS,
     "preparse_lines": _SQL_PREPARSE_LINES,
