@@ -599,6 +599,87 @@ SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token
 HAVING count(*) >= 10
 """
 
+# ----------------- P2 integration: lb-addressed TEI lines as a table
+
+def q_tei_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents re-serialized as TEI (one <lb n="1.{i:02d}"/> per text
+    line) and parsed by the reference-faithful TEI kernel. Because line
+    indexes come from lb markers (not a newline counter), LEADING blank
+    lines survive as gap-filled ' ' — a behavioral contrast to
+    preparse_lines, which eats them; trailing blanks are still trimmed."""
+    import pandas as pd
+
+    from .functions.teiparse import parse_tei
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            ids, lns, outs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                parts = text.split("\n")
+                content = "<x>" + "".join(
+                    f'<lb n="1.{i + 1:02d}"/>{p}'
+                    for i, p in enumerate(parts)) + "</x>"
+                parsed = parse_tei(content)
+                if not parsed.texts:
+                    continue
+                for ln, s in enumerate(parsed.texts[0][0]):
+                    ids.append(doc_id)
+                    lns.append(ln)
+                    outs.append(s)
+            yield pd.DataFrame({"doc_id": ids, "line": lns, "text_line": outs})
+
+    return d.mapInPandas(run, schema="doc_id long, line long, text_line string")
+
+
+_SQL_TEI_LINES = """
+WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+b AS (SELECT doc_id, ls,
+        list_max(list_filter(range(1, len(ls) + 1), i -> ls[i] <> '')) AS l
+      FROM t
+      WHERE len(list_filter(ls, x -> x <> '')) > 0)
+SELECT doc_id, (i - 1)::BIGINT AS line,
+       CASE WHEN ls[i] = '' THEN ' ' ELSE ls[i] END AS text_line
+FROM b, unnest(range(1, l + 1)) AS u(i)
+"""
+
+# --------------- stateful streaming sessionize, oracle-checked
+
+def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user session counts computed by the STATEFUL STREAMING operator
+    (applyInPandasWithState over an availableNow file stream) — must equal
+    the batch gap-and-island SQL exactly (single drained batch)."""
+    import shutil
+    import tempfile
+
+    from .streaming.sessionize import sessionize_stateful
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="stream_sessions_")
+    shutil.copy(f"{sf}/events.parquet", stage)
+    stream = spark.readStream.schema(events.schema).parquet(stage)
+    out = sessionize_stateful(stream)
+    name = f"stream_sessions_{abs(hash(sf)) % 10**8}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(name).select("user_id", "n_events", "n_sessions")
+
+
+_SQL_STREAM_SESSIONS = """
+WITH x AS (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR date_diff('second',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events, sum(new_s)::BIGINT AS n_sessions
+FROM x GROUP BY user_id
+"""
+
 # --------------------------- A12 + §2.8 + C7: rollup, intersect, base36
 
 def q_rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
@@ -1025,6 +1106,8 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
+    "tei_lines": q_tei_lines,
+    "stream_sessions": q_stream_sessions,
     "rollup_orders": q_rollup_orders,
     "intersect_sources": q_intersect_sources,
     "base36_ids": q_base36_ids,
@@ -1064,6 +1147,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL_EXT: dict[str, str] = {
     "stream_hourly": _stream_hourly_sql(),
+    "tei_lines": _SQL_TEI_LINES,
+    "stream_sessions": _SQL_STREAM_SESSIONS,
     "rollup_orders": _SQL_ROLLUP_ORDERS,
     "intersect_sources": _SQL_INTERSECT_SOURCES,
     "base36_ids": _SQL_BASE36_IDS,
