@@ -140,3 +140,47 @@ SELECT doc_id,
   (12 + (16 + doc_id % 64) * (16 + doc_id % 48))::BIGINT AS n_bytes
 FROM documents
 """
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, byte_offset int, frame_bytes int"
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """Video frame sampling plumbing: one row per sampled frame with its
+    byte extent inside the container. A real decoder replaces the
+    byte-slicing with codec frame boundaries; the Spark shape (binary in,
+    exploded frame rows out via mapInPandas) is the production one.
+
+    Frame model for the synthetic container: each frame is `width` bytes
+    of the body; every `every`-th frame is sampled.
+    """
+    import struct as _struct
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, sizes = [], [], [], []
+            for doc_id, kind, b in zip(pdf["doc_id"], pdf["kind"],
+                                       pdf["payload"]):
+                if kind != "video" or b[:4] != MAGIC:
+                    continue
+                w, h = _struct.unpack(">II", b[4:12])
+                n_frames = h  # one frame per row of the synthetic body
+                for i in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(12 + i * w)
+                    sizes.append(w)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "byte_offset": offs, "frame_bytes": sizes})
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+MEDIA_FRAMES_SQL = """
+WITH v AS (
+  SELECT doc_id, (16 + doc_id % 64)::BIGINT AS w, (16 + doc_id % 48)::BIGINT AS h
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT doc_id, i::INT AS frame_idx, (12 + i * w)::INT AS byte_offset,
+       w::INT AS frame_bytes
+FROM v, unnest(range(0, h, 4)) AS u(i)
+"""

@@ -1085,6 +1085,20 @@ def _media_meta_sql() -> str:
     return MEDIA_META_SQL
 
 
+def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sample plumbing: binary container -> exploded frame
+    rows (index, byte extent); the oracle recomputes the frame geometry
+    arithmetically from doc_id."""
+    from .operators.media import frame_sample, synth_media
+    docs = load(spark, sf, "documents")
+    return frame_sample(synth_media(docs), every=4)
+
+
+def _media_frames_sql() -> str:
+    from .operators.media import MEDIA_FRAMES_SQL
+    return MEDIA_FRAMES_SQL
+
+
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary payload -> byte-histogram feature vectors (the image-embedding
     plumbing stand-in); rows-only."""
@@ -1126,6 +1140,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_tokens": q_normalize_tokens,
     "salted_source_agg": q_salted_source_agg,
     "media_meta": q_media_meta,
+    "media_frames": q_media_frames,
     "media_features": q_media_features,
     "ivf_topk": q_ivf_topk,
     "char_unigrams": q_char_unigrams,
@@ -1166,6 +1181,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "normalize_tokens": _SQL_NORMALIZE_TOKENS,
     "salted_source_agg": _SQL_SALTED_SOURCE_AGG,
     "media_meta": _media_meta_sql(),
+    "media_frames": _media_frames_sql(),
     "char_unigrams": _SQL_CHAR_UNIGRAMS,
     "bigram_ratio": _SQL_BIGRAM_RATIO,
     "kpos_roundtrip": _kpos_sql(),
