@@ -1107,6 +1107,15 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     return byte_histogram(synth_media(docs))
 
 
+def q_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k over int8-quantized vectors (4x memory cut); rows-only —
+    recall vs exact is asserted in tests."""
+    e = load(spark, sf, "embeddings")
+    qv = [row[0] for row in
+          e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    return ann.quantized_topk(e, qv, k=10)
+
+
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-probed ANN top-k; rows-only (recall vs brute force is asserted
     in tests/test_media_ivf.py)."""
@@ -1143,6 +1152,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     "ivf_topk": q_ivf_topk,
+    "quantized_topk": q_quantized_topk,
     "char_unigrams": q_char_unigrams,
     "bigram_ratio": q_bigram_ratio,
     "kpos_roundtrip": q_kpos_roundtrip,

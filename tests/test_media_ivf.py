@@ -96,3 +96,26 @@ def test_lsh_multiprobe_improves_recall(spark):
     assert len(r1 & brute) >= len(r0 & brute)  # probing never hurts recall
     assert len(r2 & brute) >= len(r1 & brute)
     assert len(r2 & brute) >= 5  # 2-probe reaches decent recall on 500 vecs
+
+
+def test_quantized_topk_recall(spark):
+    from pyspark.sql import functions as F
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [r[0] for r in
+          e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+    exact = {r.vec_id for r in ann.brute_force_topk(e, qv, k=10).collect()}
+    quant = {r.vec_id for r in ann.quantized_topk(e, qv, k=10).collect()}
+    # int8 symmetric quantization keeps cosine ordering almost intact
+    assert len(exact & quant) >= 8
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    import numpy as np
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in e.collect()}
+    for r in ann.quantize_int8(e).collect():
+        x = orig[r.vec_id]
+        back = np.array(r.qvec, dtype=np.float64) * r.scale
+        m = np.max(np.abs(x))
+        assert np.max(np.abs(back - x)) <= m / 127.0 * 0.5 + 1e-12
