@@ -96,35 +96,48 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
             .orderBy(F.desc("cos_sim"), id_col).limit(k))
 
 
-def ivf_assign(embeddings: DataFrame, n_cells: int = 16,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """+ `cell` column: index of the nearest of n_cells coarse centroids.
-
-    Centroids are the first n_cells vectors by id (deterministic coarse
-    quantizer; a k-means refinement would slot in unchanged). Assignment is
-    a vectorized pandas UDF: one numpy matmul per Arrow batch — the 100 TB
-    shape (batch_rows x dim) @ (dim x n_cells), zero per-row Python.
-    """
+def ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Normalized coarse-centroid matrix (n_cells x dim). Centroids are the
+    first n_cells vectors by id (deterministic coarse quantizer; a k-means
+    refinement would slot in unchanged). ONE collect, shared by
+    ivf_assign and the probe-selection in ivf_topk."""
     import numpy as np
-    import pandas as pd
 
     cents = [r[1] for r in (embeddings.orderBy(id_col).limit(n_cells)
                             .select(id_col, vec_col)
                             .collect())]  # collect-ok: n_cells rows (dim-sized)
     C = np.asarray(cents, dtype=np.float64)            # (n_cells, dim)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)  # cosine -> normalized
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    from pyspark.sql.types import IntegerType, StructField
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids=None) -> DataFrame:
+    """+ `cell` column: index of the nearest of n_cells coarse centroids.
+
+    Assignment is a vectorized pandas UDF: one numpy matmul per Arrow
+    batch — the 100 TB shape (batch_rows x dim) @ (dim x n_cells), zero
+    per-row Python. Similarities are rounded to 6dp before the argmax
+    (ties -> lowest cell index) so the assignment is reproducible across
+    engines for the oracle twin.
+    """
+    import numpy as np
+
+    Cn = (centroids if centroids is not None
+          else ivf_centroids(embeddings, n_cells, id_col, vec_col))
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
     out_schema = list(embeddings.schema.fields) + [
         StructField("cell", IntegerType())]
-    from pyspark.sql.types import StructType
 
     def assign(batches):
         for pdf in batches:
             X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
             pdf = pdf.copy()
-            pdf["cell"] = (Xn @ Cn.T).argmax(axis=1).astype("int32")
+            pdf["cell"] = (np.round(Xn @ Cn.T, 6)
+                           .argmax(axis=1).astype("int32"))
             yield pdf
 
     return embeddings.mapInPandas(assign, schema=StructType(out_schema))
@@ -138,18 +151,16 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     At 10^12 vectors the assignment is precomputed and the table is
     partitioned by `cell`, so a probe reads n_probe/n_cells of the data
     (partition pruning on the cell column); here assignment runs inline.
+    The centroid collect happens ONCE and is shared with ivf_assign.
     """
     import numpy as np
 
-    assigned = ivf_assign(embeddings, n_cells, id_col, vec_col)
-    cents = [r[1] for r in (embeddings.orderBy(id_col).limit(n_cells)
-                            .select(id_col, vec_col)
-                            .collect())]  # collect-ok: n_cells rows (dim-sized)
-    C = np.asarray(cents, dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assigned = ivf_assign(embeddings, n_cells, id_col, vec_col, centroids=Cn)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
-    probe = np.argsort(-(Cn @ qn))[:n_probe].tolist()
+    # rounded + stable argsort: probe order reproducible for the oracle
+    probe = np.argsort(-np.round(Cn @ qn, 6), kind="stable")[:n_probe].tolist()
 
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (assigned.where(F.col("cell").isin([int(c) for c in probe]))
@@ -240,14 +251,16 @@ def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
 
     def quant(batches):
         for pdf in batches:
-            ids, scales, qs = [], [], []
-            for i, v in zip(pdf[id_col], pdf[vec_col]):
-                x = np.asarray(v, dtype=np.float64)
-                m = float(np.max(np.abs(x))) or 1.0
-                ids.append(i)
-                scales.append(m / 127.0)
-                qs.append(np.round(x * (127.0 / m)).astype(np.int32))
-            yield pd.DataFrame({"vec_id": ids, "scale": scales, "qvec": qs})
+            if not len(pdf):
+                continue
+            # whole batch in BLAS: (rows x dim) stack, row-wise max, one
+            # broadcasted round — zero per-row Python
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m = np.abs(X).max(axis=1)
+            m[m == 0.0] = 1.0
+            Q = np.round(X * (127.0 / m)[:, None]).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(),
+                                "scale": m / 127.0, "qvec": list(Q)})
 
     return (embeddings.select(id_col, vec_col)
             .mapInPandas(quant, schema="vec_id long, scale double, qvec array<int>"))

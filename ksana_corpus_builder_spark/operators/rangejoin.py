@@ -18,7 +18,6 @@ Two Spark strategies, picked by dimension size:
 
 from __future__ import annotations
 
-import bisect
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,14 +57,20 @@ def asof_join_broadcast(facts: DataFrame, starts: list[int], labels: list,
                         fact_key: str, out_col: str = "article") -> DataFrame:
     """Dim-side tiny: vectorized binary search per Arrow batch.
     `starts` must be sorted ascending; facts below starts[0] get None."""
+    import numpy as np
     from pyspark.sql.types import StringType, StructField, StructType
     schema = StructType(list(facts.schema.fields)
                         + [StructField(out_col, StringType())])
+    starts_arr = np.asarray(starts)
+    labels_arr = np.asarray(labels, dtype=object)
 
     def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            idx = [bisect.bisect_right(starts, int(k)) - 1 for k in pdf[fact_key]]
-            pdf[out_col] = [labels[i] if i >= 0 else None for i in idx]
+            # whole batch in one vectorized binary search (no per-row bisect)
+            idx = np.searchsorted(starts_arr, pdf[fact_key].to_numpy(),
+                                  side="right") - 1
+            pdf[out_col] = np.where(idx >= 0, labels_arr[np.maximum(idx, 0)],
+                                    None)
             yield pdf
 
     return facts.mapInPandas(attach, schema=schema)

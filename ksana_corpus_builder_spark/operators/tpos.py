@@ -45,23 +45,24 @@ def doc_offsets(tokens: DataFrame, id_col: str = "doc_id",
 
 
 def doc_offsets_hierarchical(tokens: DataFrame, id_col: str = "doc_id",
-                             gap: int = DOC_GAP, chunks: int = 64) -> DataFrame:
-    """Scale path: IDENTICAL offsets to :func:`doc_offsets` without a single
-    global window (asserted equal in tests).
+                             gap: int = DOC_GAP,
+                             chunk_width: int = 1 << 20) -> DataFrame:
+    """Scale path: IDENTICAL offsets to :func:`doc_offsets` without a
+    single-task global window over the doc dim (asserted equal in tests).
 
-    Chunk docs by id RANGE (chunk = id div width, width from one scalar
-    max-id lookup), so ordering by (chunk, id) IS the global id order.
-    Prefix-sum inside each chunk (windows partitioned by chunk -> every
-    task bounded), then prefix-sum the `chunks`-row chunk totals and
-    broadcast-add. At 10^12 docs set chunks so each chunk's doc dim fits
-    one task (e.g. 10^5 chunks of 10^7 docs).
+    Chunk docs by FIXED id range (chunk = id div chunk_width): ordering by
+    (chunk, id) IS the global id order, any chunk holds at most chunk_width
+    distinct ids, and — unlike deriving the width from min/max — no driver
+    collect and no extra scan is needed, so the plan has exactly the same
+    job structure as the flat version. Prefix-sum inside each chunk
+    (windows partitioned by chunk -> every task bounded), then prefix-sum
+    the per-chunk totals (dim-sized: id_range/chunk_width rows — 10^6 rows
+    at 10^12 docs; a third level slots in unchanged if that ever grows)
+    and broadcast-add.
     """
     counts = tokens.groupBy(id_col).agg(F.count("*").alias("n_tok"))
-    lo, hi = counts.agg(F.min(id_col), F.max(id_col)) \
-                   .collect()[0]  # collect-ok: two scalars (chunk bounds)
-    width = max(1, (int(hi) - int(lo)) // chunks + 1)
     chunked = counts.withColumn(
-        "chunk", ((F.col(id_col) - F.lit(int(lo))) / F.lit(width)).cast("long"))
+        "chunk", F.floor(F.col(id_col) / F.lit(int(chunk_width))).cast("long"))
     w_in = (Window.partitionBy("chunk").orderBy(id_col)
             .rowsBetween(Window.unboundedPreceding, -1))
     w_rn = Window.partitionBy("chunk").orderBy(id_col)
@@ -91,8 +92,14 @@ def doc_offsets_hierarchical(tokens: DataFrame, id_col: str = "doc_id",
 
 def with_tpos(tokens: DataFrame, id_col: str = "doc_id",
               pos_col: str = "pos", gap: int = DOC_GAP) -> DataFrame:
-    """tokens(doc_id, pos, token) -> + tpos column (global, gapped)."""
-    offs = doc_offsets(tokens, id_col, gap)
+    """tokens(doc_id, pos, token) -> + tpos column (global, gapped).
+
+    DEFAULTS to the hierarchical prefix sum: identical offsets to
+    :func:`doc_offsets` (asserted equal in tests) with every window
+    partitioned by chunk — no single-task global sort in any plan, at any
+    doc count. The math is the same, so there is no small-scale special
+    case to diverge from."""
+    offs = doc_offsets_hierarchical(tokens, id_col, gap)
     return (
         tokens.join(F.broadcast(offs), id_col)
         .withColumn("tpos", F.col("tpos_offset") + F.col(pos_col))

@@ -649,14 +649,12 @@ def q_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user session counts computed by the STATEFUL STREAMING operator
     (applyInPandasWithState over an availableNow file stream) — must equal
     the batch gap-and-island SQL exactly (single drained batch)."""
-    import shutil
     import tempfile
 
     from .streaming.sessionize import sessionize_stateful
+    from .streaming.windowed import stage_events_dir
     events = spark.read.parquet(f"{sf}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="stream_sessions_")
-    shutil.copy(f"{sf}/events.parquet", stage)
-    stream = spark.readStream.schema(events.schema).parquet(stage)
+    stream = spark.readStream.schema(events.schema).parquet(stage_events_dir(sf))
     out = sessionize_stateful(stream)
     name = f"stream_sessions_{abs(hash(sf)) % 10**8}"
     with tempfile.TemporaryDirectory() as ckpt:
@@ -880,11 +878,16 @@ def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
                     "n_events", "first_event"))
 
 
+# Gap compared in MICROSECONDS: Spark's session_window merges two events
+# iff gap <= 30 min at microsecond precision (verified empirically: a gap
+# of exactly 1800s merges, 1800.5s splits), so the oracle must use
+# epoch_us with a strict >, not date_diff('second') which truncates
+# sub-second gaps and mislabels gaps in (1800.0s, 1801.0s).
 _SQL_SESSION_WINDOWS = """
 WITH x AS (
   SELECT user_id, ts, event_id,
     CASE WHEN lag(ts) OVER w IS NULL
-         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
          THEN 1 ELSE 0 END AS new_s
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
@@ -988,8 +991,10 @@ FROM x GROUP BY bucket_start
 
 def q_lineage_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Per-partition lineage rows — the Spark buildMeta (index.js:293-318):
-    partition id, doc counts, rule-hit counts, scrub stats. Rows-only (the
-    partition split is engine-specific)."""
+    partition id, doc counts, rule-hit counts. Rows-only (the partition
+    split is engine-specific). The per-rule map is EXPLODED to one
+    (partition_id, rule, n_hits) row per rule so every output column is a
+    hash-stable scalar for the driver's rows-only check."""
     from .functions.quality import RULE_NAMES
     from .plans import quality_pipeline as qp
     docs = load(spark, sf, "documents")
@@ -999,11 +1004,14 @@ def q_lineage_metrics(spark: SparkSession, sf: str) -> DataFrame:
         F.array(*[F.lit(r) for r in RULE_NAMES]),
         F.array(*[F.sum(F.when(F.array_contains("rules_hit", r), 1)
                         .otherwise(0)) for r in RULE_NAMES]))
-    return (result.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
-                 rule_counts.alias("rule_hit_counts")))
+    agg = (result.withColumn("partition_id", F.spark_partition_id())
+           .groupBy("partition_id")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                rule_counts.alias("rule_hit_counts")))
+    return agg.select(
+        "partition_id", "n_docs", "n_kept",
+        F.explode("rule_hit_counts").alias("rule", "n_hits"))
 
 
 # ---------------------------------------------- P6: token-type census
@@ -1101,10 +1109,31 @@ def _media_frames_sql() -> str:
 
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary payload -> byte-histogram feature vectors (the image-embedding
-    plumbing stand-in); rows-only."""
+    plumbing stand-in), exploded to (doc_id, bin, v) scalar rows. The oracle
+    recomputes the histogram arithmetically from doc_id (the synthetic
+    payload is (i ^ doc_id) & 255) — the Spark path must reproduce it
+    THROUGH the real binary encode/decode."""
     from .operators.media import byte_histogram, synth_media
     docs = load(spark, sf, "documents")
-    return byte_histogram(synth_media(docs))
+    feats = byte_histogram(synth_media(docs))
+    return (feats.select("doc_id", F.posexplode("feat").alias("bin", "v"))
+            .select("doc_id", F.col("bin").cast("long").alias("bin"),
+                    F.round("v", 6).alias("v")))
+
+
+_SQL_MEDIA_FEATURES = """
+WITH d AS (
+  SELECT doc_id, (16 + doc_id % 64)::BIGINT * (16 + doc_id % 48)::BIGINT AS sz
+  FROM documents),
+bytes AS (
+  SELECT doc_id, sz, ((xor(i, doc_id) % 256) // 16)::BIGINT AS bin
+  FROM d, unnest(range(0, sz)) AS u(i)),
+cnt AS (SELECT doc_id, bin, count(*)::BIGINT AS c FROM bytes GROUP BY 1, 2),
+bins AS (SELECT doc_id, sz, unnest(range(0, 16))::BIGINT AS bin FROM d)
+SELECT bins.doc_id, bins.bin,
+       round(coalesce(c, 0) / greatest(1.0, sz), 6) AS v
+FROM bins LEFT JOIN cnt ON cnt.doc_id = bins.doc_id AND cnt.bin = bins.bin
+"""
 
 
 def q_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -1192,6 +1221,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "salted_source_agg": _SQL_SALTED_SOURCE_AGG,
     "media_meta": _media_meta_sql(),
     "media_frames": _media_frames_sql(),
+    "media_features": _SQL_MEDIA_FEATURES,
     "char_unigrams": _SQL_CHAR_UNIGRAMS,
     "bigram_ratio": _SQL_BIGRAM_RATIO,
     "kpos_roundtrip": _kpos_sql(),

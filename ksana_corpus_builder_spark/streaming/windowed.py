@@ -15,10 +15,28 @@ semantics, different physical execution.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def stage_events_dir(sf: str) -> str:
+    """Stage sf's single events.parquet into a DETERMINISTIC directory (the
+    file stream source wants a directory), reused across invocations —
+    bench runs each streaming query twice per invocation, so mkdtemp here
+    would accumulate copies in /tmp forever."""
+    stage = os.path.join("/tmp/ksana_stream_stage",
+                         os.path.basename(os.path.normpath(sf)))
+    src = f"{sf}/events.parquet"
+    dst = os.path.join(stage, "events.parquet")
+    if (not os.path.exists(dst)
+            or os.path.getmtime(dst) < os.path.getmtime(src)):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copy(src, dst)
+    return stage
 
 
 def windowed_event_counts(stream: DataFrame, window: str = "1 hour",
@@ -62,12 +80,10 @@ def stream_hourly_query(spark: SparkSession, sf: str) -> DataFrame:
     """Oracle-checked rows: hourly counts computed BY THE STREAMING ENGINE
     (file-source readStream + watermark + window + availableNow), formatted
     to match the plain-SQL twin. The file source wants a directory, so the
-    single-parquet testdata file is staged into a temp dir (a real
-    deployment points at the increments directory itself)."""
-    import shutil
+    single-parquet testdata file is staged into a deterministic reusable
+    dir (a real deployment points at the increments directory itself)."""
     batch = spark.read.parquet(f"{sf}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="stream_hourly_")
-    shutil.copy(f"{sf}/events.parquet", stage)
+    stage = stage_events_dir(sf)
     out = run_available_now(spark, stage, batch.schema,
                             table_name=f"stream_hourly_{abs(hash(sf)) % 10**8}")
     return out.select(

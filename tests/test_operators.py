@@ -28,11 +28,12 @@ def test_tpos_gap_semantics(spark):
     assert got == [(1, 1), (1, 2), (1, 3), (2, 504), (2, 505), (3, 1006)]
 
 
-def test_tpos_hierarchical_chunks1_matches(spark):
+def test_tpos_hierarchical_one_chunk_matches(spark):
     d = _docs(spark, [(i, "w " * (i + 1)) for i in range(10)])
     tk = tokens.word_tokens(d)
     a = tpos.doc_offsets(tk).orderBy("doc_id").collect()
-    b = tpos.doc_offsets_hierarchical(tk, chunks=1).orderBy("doc_id").collect()
+    b = (tpos.doc_offsets_hierarchical(tk, chunk_width=1 << 20)
+         .orderBy("doc_id").collect())  # all ids in one chunk
     assert [(r.doc_id, r.tpos_offset) for r in a] == [(r.doc_id, r.tpos_offset) for r in b]
 
 
@@ -40,24 +41,30 @@ def test_tpos_hierarchical_valid_gaps(spark):
     # offsets must be distinct and leave >= gap + n_tok room between docs
     d = _docs(spark, [(i, "w " * 5) for i in range(20)])
     tk = tokens.word_tokens(d)
-    offs = sorted(r.tpos_offset for r in tpos.doc_offsets_hierarchical(tk, chunks=4).collect())
+    offs = sorted(r.tpos_offset for r in
+                  tpos.doc_offsets_hierarchical(tk, chunk_width=5).collect())
     assert len(set(offs)) == 20
     assert all(b - a >= 505 for a, b in zip(offs, offs[1:]))
 
 
 def test_tpos_hierarchical_identical_any_chunking(spark):
-    """Range chunking preserves global id order, so the scale path gives
-    EXACTLY the offsets of the single-window path for every chunk count —
-    the property that makes the swap safe on a cluster."""
+    """Fixed-width range chunking preserves global id order, so the scale
+    path gives EXACTLY the offsets of the single-window path for every
+    chunk width — the property that makes the swap safe on a cluster."""
     d = _docs(spark, [(i * 7 + 3, "w " * ((i % 5) + 1)) for i in range(40)])
     tk = tokens.word_tokens(d)
     want = [(r.doc_id, r.tpos_offset)
             for r in tpos.doc_offsets(tk).orderBy("doc_id").collect()]
-    for chunks in (1, 3, 8, 64):
+    for width in (1, 3, 17, 1 << 20):
         got = [(r.doc_id, r.tpos_offset)
-               for r in tpos.doc_offsets_hierarchical(tk, chunks=chunks)
+               for r in tpos.doc_offsets_hierarchical(tk, chunk_width=width)
                .orderBy("doc_id").collect()]
-        assert got == want, f"chunks={chunks}"
+        assert got == want, f"chunk_width={width}"
+
+
+def test_tpos_hierarchical_empty_input(spark):
+    d = _docs(spark, [(1, "a b")]).where(F.col("doc_id") > 99)
+    assert tpos.doc_offsets_hierarchical(tokens.word_tokens(d)).count() == 0
 
 
 def test_posting_lists_sorted(spark):
