@@ -776,17 +776,14 @@ def q_indexed_postings(spark: SparkSession, sf: str) -> DataFrame:
     position assignment matches, not just the counts."""
     import pandas as pd
 
-    from .tokenizer import indexable_tokens
+    from .tokenizer import indexable_token_frame
     d = load(spark, sf, "documents").select("doc_id", "text")
 
     def run(batches):
         for pdf in batches:
-            toks, poss = [], []
-            for text in pdf["text"].fillna(""):
-                for tk, pos, _typ in indexable_tokens(text):
-                    toks.append(tk)
-                    poss.append(pos)
-            yield pd.DataFrame({"token": toks, "pos": poss})
+            f = indexable_token_frame(pdf["text"])  # one extractall per batch
+            yield pd.DataFrame({"token": f["tok"].to_numpy(),
+                                "pos": f["pos"].to_numpy()})
 
     t = d.mapInPandas(run, schema="token string, pos long")
     return (t.groupBy("token")
@@ -1021,28 +1018,14 @@ def q_token_types(spark: SparkSession, sf: str) -> DataFrame:
     CJK with the reference's class precedence) via the tokenize_series
     kernel; the oracle recomputes each class with disjoint-by-construction
     RE2 classes."""
-    import pandas as pd
-
     from . import tokenizer as tk
     d = load(spark, sf, "documents").select("doc_id", "text")
 
     def run(batches):
         for pdf in batches:
-            toks = tk.tokenize_series(pdf["text"])
-            counts = {t: [] for t in (tk.SPACE, tk.PUNC, tk.LATIN,
-                                      tk.NUMBER, tk.CJK)}
-            for ts in toks:
-                c = {t: 0 for t in counts}
-                for _, typ in ts:
-                    c[typ] += 1
-                for t in counts:
-                    counts[t].append(c[t])
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "n_space": counts[tk.SPACE], "n_punc": counts[tk.PUNC],
-                "n_latin": counts[tk.LATIN], "n_number": counts[tk.NUMBER],
-                "n_cjk": counts[tk.CJK],
-            })
+            c = tk.token_type_census(pdf["text"])  # 5 vectorized counts
+            c.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield c
 
     return d.mapInPandas(
         run, schema=("doc_id long, n_space long, n_punc long, "

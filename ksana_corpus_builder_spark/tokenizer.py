@@ -102,6 +102,94 @@ def indexable_tokens(text: str, remove_punc: bool = False) -> list[tuple[str, in
     return out
 
 
+# groupless twin of _TOKEN_RE (findall with groups returns tuples; without
+# them it returns the matched strings directly — much cheaper). MUST stay
+# in lockstep with _TOKEN_RE's alternation; equality pinned by tests.
+_TOKEN_RE_NOGROUP = re.compile(
+    r"\s+|[0-9]+|[A-Za-zÀ-ɏḀ-ỿ']+|[一-鿿]|.", re.DOTALL)
+
+# exactly the characters Python's str-mode \s matches (so first-char
+# classification agrees with the regex alternation)
+_WS_CODES = np.array(
+    [9, 10, 11, 12, 13, 28, 29, 30, 31, 32, 0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B)) + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000],
+    dtype=np.int32)
+
+
+def token_frame(texts: pd.Series) -> pd.DataFrame:
+    """Batch tokenizer: pd.Series[str] -> DataFrame(row, tok, typ) where
+    `row` is the POSITIONAL index into `texts`. One findall pass (C regex)
+    + explode; the token TYPE is recovered from the first character's
+    codepoint (the alternation classes are disjoint, so the first char
+    determines the class) — no per-row Python loop, same tokens as
+    :func:`tokenize` (equality is pinned by tests/test_tokenizer.py)."""
+    s = texts.fillna("").reset_index(drop=True)
+    toks = s.str.findall(_TOKEN_RE_NOGROUP).explode().dropna()
+    if not len(toks):
+        return pd.DataFrame({"row": np.array([], dtype=np.int64),
+                             "tok": np.array([], dtype=object),
+                             "typ": np.array([], dtype=np.int64)})
+    arr = toks.to_numpy()
+    ch = np.array(arr, dtype="<U1").view(np.int32)  # first codepoint, one C pass
+    is_num = (ch >= 48) & (ch <= 57)
+    is_latin = (((ch >= 65) & (ch <= 90)) | ((ch >= 97) & (ch <= 122))
+                | ((ch >= 0xC0) & (ch <= 0x24F))
+                | ((ch >= 0x1E00) & (ch <= 0x1EFF)) | (ch == 39))
+    is_cjk = (ch >= 0x4E00) & (ch <= 0x9FFF)
+    is_space = np.isin(ch, _WS_CODES)
+    typ = np.select([is_space, is_num, is_latin, is_cjk],
+                    [SPACE, NUMBER, LATIN, CJK], default=PUNC)
+    return pd.DataFrame({"row": toks.index.to_numpy(), "tok": arr,
+                         "typ": typ})
+
+
+def indexable_token_frame(texts: pd.Series,
+                          remove_punc: bool = False) -> pd.DataFrame:
+    """Vectorized :func:`indexable_tokens` over a whole batch:
+    -> DataFrame(row, tok, pos, typ) of INDEXED tokens only, where pos is
+    the per-document 1-based position counter (PUNC/NUMBER consume a slot,
+    SPACE and removed-PUNC do not) computed as a grouped cumcount —
+    per-batch C code, zero per-row Python. Equality with the reference-
+    shaped loop kernel is asserted in tests."""
+    f = token_frame(texts)
+    typ = f["typ"].to_numpy()
+    consume = typ != SPACE
+    if remove_punc:
+        consume &= typ != PUNC
+    f = f[consume].copy()
+    f["pos"] = (f.groupby("row").cumcount() + 1).astype("int64")
+    out = f[(f["typ"] == LATIN) | (f["typ"] == CJK)].copy()
+    lat = out["typ"] == LATIN
+    if lat.any():
+        out.loc[lat, "tok"] = normalize_latin_series(out.loc[lat, "tok"])
+    return out[["row", "tok", "pos", "typ"]].reset_index(drop=True)
+
+
+# token-type census classes: because the tokenizer's alternation is over
+# DISJOINT character classes, counting maximal runs of each class
+# independently is equivalent to walking the alternation (a run of one
+# class can never be extended or split by another class winning first) —
+# the equivalence is pinned against tokenize() in tests.
+_SPACE_RUN = re.compile(r"\s+")
+_NUM_RUN = re.compile(r"[0-9]+")
+_LATIN_RUN = re.compile(r"[A-Za-zÀ-ɏḀ-ỿ']+")
+_CJK_CHAR = re.compile(r"[一-鿿]")
+_PUNC_CHAR = re.compile(r"[^\s0-9A-Za-zÀ-ɏḀ-ỿ'一-鿿]", re.DOTALL)
+
+
+def token_type_census(texts: pd.Series) -> pd.DataFrame:
+    """Per-document token counts by type, fully vectorized (five
+    str.count passes per batch instead of a Python walk per token)."""
+    s = texts.fillna("")
+    return pd.DataFrame({
+        "n_space": s.str.count(_SPACE_RUN).astype("int64").to_numpy(),
+        "n_punc": s.str.count(_PUNC_CHAR).astype("int64").to_numpy(),
+        "n_latin": s.str.count(_LATIN_RUN).astype("int64").to_numpy(),
+        "n_number": s.str.count(_NUM_RUN).astype("int64").to_numpy(),
+        "n_cjk": s.str.count(_CJK_CHAR).astype("int64").to_numpy(),
+    })
+
+
 def simple_word_tokens(texts: pd.Series) -> pd.Series:
     """Whitespace word split for quality stats (C4-style), vectorized."""
     return texts.fillna("").str.split()

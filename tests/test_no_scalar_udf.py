@@ -22,6 +22,31 @@ def test_no_row_at_a_time_udf():
     assert not offenders, f"row-at-a-time UDFs found in {offenders}"
 
 
+# Per-row Python iteration over batch columns inside hot-path kernels —
+# `for x in pdf[...]`, `zip(pdf[...]`, `.iterrows()`. Parser kernels
+# (functions/) iterate per DOCUMENT by design (state-machine parse has no
+# vector form) and operators/media.py slices variable-length binaries, so
+# the lint covers the columnar-math operators where a loop means an
+# unvectorized kernel.
+_ROW_LOOP = re.compile(r"for\s+[\w, ]+\s+in\s+(zip\(\s*pdf\[|pdf\[)|\.iterrows\(\)")
+_ROW_LOOP_FILES = ("operators/ann.py", "operators/rangejoin.py",
+                   "operators/dedup.py", "operators/skew.py",
+                   "operators/tpos.py", "operators/postings.py",
+                   "operators/bigram.py", "tokenizer.py")
+
+
+def test_no_per_row_loops_in_columnar_kernels():
+    offenders = []
+    for rel in _ROW_LOOP_FILES:
+        p = PKG / rel
+        if not p.exists():
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if _ROW_LOOP.search(line):
+                offenders.append(f"{rel}:{i}")
+    assert not offenders, f"per-row Python loops in columnar kernels: {offenders}"
+
+
 def test_no_collect_in_operators():
     # operators must stay distributed; driver-side collect is allowed only
     # in queries.py (query parameters) and tools/tests. Exception: a line

@@ -56,6 +56,47 @@ def test_vectorized_matches_scalar():
     assert list(tk.tokenize_series(s)) == [tk.tokenize(x) for x in s]
 
 
+_KERNEL_SAMPLES = [
+    "Hello, 世界 42 naïve!",
+    "a,b c 7d（慈）悲\n\nnext line 'quoted' l'été",
+    "", "   ", "123", "。。。", "ÉLÈVE's déjà-vu 3.14",
+    "mixed 漢字and latin42, punct...!?",
+]
+
+
+def test_indexable_token_frame_matches_loop():
+    """The batch extractall kernel must equal the reference-shaped loop
+    token-for-token, position-for-position (both remove_punc modes)."""
+    s = pd.Series(_KERNEL_SAMPLES)
+    for rp in (False, True):
+        f = tk.indexable_token_frame(s, remove_punc=rp)
+        got = {
+            r: [(t, p, ty) for t, p, ty in zip(
+                f[f["row"] == r]["tok"], f[f["row"] == r]["pos"],
+                f[f["row"] == r]["typ"])]
+            for r in range(len(s))
+        }
+        want = {r: tk.indexable_tokens(s[r], remove_punc=rp)
+                for r in range(len(s))}
+        assert got == want, f"remove_punc={rp}"
+
+
+def test_token_type_census_matches_loop():
+    """Independent per-class run counts == walking the tokenizer
+    alternation (classes are disjoint)."""
+    s = pd.Series(_KERNEL_SAMPLES)
+    c = tk.token_type_census(s)
+    for i, text in enumerate(s):
+        counts = {tk.SPACE: 0, tk.PUNC: 0, tk.LATIN: 0, tk.NUMBER: 0,
+                  tk.CJK: 0}
+        for _, typ in tk.tokenize(text):
+            counts[typ] += 1
+        assert (c.loc[i, "n_space"], c.loc[i, "n_punc"], c.loc[i, "n_latin"],
+                c.loc[i, "n_number"], c.loc[i, "n_cjk"]) == (
+            counts[tk.SPACE], counts[tk.PUNC], counts[tk.LATIN],
+            counts[tk.NUMBER], counts[tk.CJK]), text
+
+
 def test_bpe_ish_count():
     s = pd.Series(["hello world 42!", ""])
     # hello, world, 4, 2, ! -> 5
