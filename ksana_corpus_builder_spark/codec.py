@@ -30,9 +30,32 @@ DEFAULT_BITS = (12, 16, 10, 10)
 
 @dataclass(frozen=True)
 class AddressPattern:
-    """Bits per component, mirroring the reference's buildAddressPattern."""
+    """Bits per component, mirroring the reference's buildAddressPattern
+    (``index.js:45-48`` Ksanapos.buildAddressPattern(opts.bits,
+    opts.column)).
+
+    ``column``: sub-page columns per page (htll's a-d letters => 4; 0 =
+    no column addressing). The reference folds the column INTO the page
+    component before packing: ``pagenumber = page*column +
+    (parseInt(col,36)-10)`` (``htll/handlers.js:51-55``), so the packed
+    layout is unchanged — the pattern only governs fold/unfold and the
+    display form (page number + column letter)."""
 
     bits: tuple[int, int, int, int] = DEFAULT_BITS
+    column: int = 0
+
+    def fold_page(self, page: int, col: int) -> int:
+        """(display page 0-based, column index) -> packed page component."""
+        if not self.column:
+            return page
+        assert 0 <= col < self.column, f"column out of range: {col}"
+        return page * self.column + col
+
+    def unfold_page(self, packed_page: int) -> tuple[int, int]:
+        """packed page component -> (display page 0-based, column index)."""
+        if not self.column:
+            return packed_page, 0
+        return packed_page // self.column, packed_page % self.column
 
     @property
     def charbits(self) -> int:
@@ -112,6 +135,11 @@ def stringify(kpos: int, pat: AddressPattern = DEFAULT_PATTERN) -> str:
     (stored 2), line 1 (stored 0), token-chars [2,4) therefore fixes the
     display as: book raw, page+1, line+1, ch raw, range end EXCLUSIVE."""
     book, page, line, ch = unpack(kpos, pat)
+    if pat.column:
+        # column-addressed corpora display page as number + letter (the
+        # htll pb form `3a`): unfold the packed page, letter a..=chr(97+col)
+        pg, col = pat.unfold_page(page)
+        return f"{book}p{pg + 1}{chr(97 + col)}.{line + 1:02d}{ch:02d}"
     return f"{book}p{page + 1}.{line + 1:02d}{ch:02d}"
 
 
@@ -129,10 +157,19 @@ def stringify_range(start: int, end: int, pat: AddressPattern = DEFAULT_PATTERN)
 
 
 def parse(s: str, pat: AddressPattern = DEFAULT_PATTERN) -> int:
-    """Inverse of :func:`stringify` (position part only, no range)."""
+    """Inverse of :func:`stringify` (position part only, no range).
+    Column-addressed patterns accept a trailing a-z letter on the page
+    (int(col,36)-10, htll/handlers.js:54)."""
     bookpage, linech = s.split(".")
     book_s, page_s = bookpage.split("p")
     line, ch = int(linech[:2]) - 1, int(linech[2:4])
+    if pat.column:
+        col = 0
+        if page_s and page_s[-1].isalpha():
+            col = int(page_s[-1], 36) - 10
+            page_s = page_s[:-1]
+        return pack(int(book_s), pat.fold_page(int(page_s) - 1, col),
+                    line, ch, pat)
     return pack(int(book_s), int(page_s) - 1, line, ch, pat)
 
 

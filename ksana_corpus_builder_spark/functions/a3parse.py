@@ -14,9 +14,21 @@ Derived from /root/reference/parseaccelon3.js:11-13 (handler registry:
   side-input, note.js:4-23); entries left unconsumed at the end are
   reported (parsepre.js:277-284) — the J3 hash-join + anti-join pair.
 - rubynote: records attribute t at the open kpos (note.js:60-67).
-- The schema-driven toc tree (accelon3handler/tree.js) is NOT ported
-  this round — documented divergence; the positional/note machinery
-  above is the part the Spark pipeline re-expresses as joins.
+- Schema-driven toc tree (accelon3handler/tree.js:7-39 +
+  parseaccelon3.js onopentag/onclosetag): an open tag with attribute
+  ``t`` (comma-separated child tag names, trailing '.' stripped)
+  re-roots or extends the tree-tag path (truncate to its own index if
+  already present, else reset to [name]); ``l`` registers leaf tags.
+  A tag whose name is IN the path opens a toc node at the current kpos
+  with depth = its path index; on the matching close the node's text is
+  the tag-stripped inner markup, emitted as (depth, text, kpos) — the
+  encodeTreeItem "depth\\ttext\\tkpos36" rows (tree.js:2). Nested toc
+  opens are an error (parseaccelon3.js "nested Toc").
+- svg (accelon3handler/svg.js:1-13): on close, resolve url (url/src/n
+  attr) against an external svg side-dict; found -> an "svg" article
+  field over [open,close) kpos; missing -> "cannot load" error.
+- a/anchor (accelon3handler/anchor.js:1-9): name (name/n attr) recorded
+  as a global "anchor" field at the current kpos.
 """
 
 from __future__ import annotations
@@ -35,12 +47,33 @@ class A3Parsed:
     footnotes_used: list[tuple[str, str]] = field(default_factory=list)
     footnotes_unconsumed: list[str] = field(default_factory=list)
     rubynotes: list[tuple[str, int]] = field(default_factory=list)
+    toc: list[tuple[int, str, int]] = field(default_factory=list)  # depth, text, kpos
+    svg_fields: list[tuple[str, int, int]] = field(default_factory=list)  # content, start, end
+    anchors: list[tuple[str, int]] = field(default_factory=list)  # name, kpos
     n_p_fields: int = 0
     errors: list[str] = field(default_factory=list)
 
 
+def encode_tree_item(depth: int, text: str, kpos: int) -> str:
+    """reference tree.js:2 encodeTreeItem: depth\\ttext\\tkpos36."""
+    out, k = [], kpos
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    while True:
+        out.append(digits[k % 36])
+        k //= 36
+        if not k:
+            break
+    return f"{depth}\t{text}\t{''.join(reversed(out))}"
+
+
+# tags whose presence never affects the tree path (tree.js ignoretags)
+_TOC_IGNORE = frozenset({"頁", "段", "註", "釋", "RM", "RN", "P", "PB",
+                         "圖", "IMAGE", "IMG", "圖文字"})
+
+
 def parse_accelon3(content: str,
-                   footnotes: dict[str, str] | None = None) -> A3Parsed:
+                   footnotes: dict[str, str] | None = None,
+                   svgs: dict[str, str] | None = None) -> A3Parsed:
     content = content.lstrip("﻿")
     content = re.sub(r"\r\n?", "\n", content).strip()
 
@@ -48,8 +81,34 @@ def parse_accelon3(content: str,
     out = A3Parsed()
     out.texts = st.out.texts
     fns = dict(footnotes or {})
+    svg_side = dict(svgs or {})
     noteid: dict[str, int] = {}
     stack: list[tuple[str, int, int, dict]] = []  # (name, kpos, inner_start, open_attrs)
+
+    # schema-driven toc state (tree.js:7-39 prolog + parseaccelon3.js)
+    treetag: list[str] = []
+    knowntag: set[str] = {"檔"}
+    tocobj: tuple[str, int, int] | None = None  # (tag, depth, kpos)
+
+    def prolog(name: str, attrs: dict[str, str]) -> None:
+        nonlocal treetag
+        if name in _TOC_IGNORE:
+            return
+        t, leaf = attrs.get("t"), attrs.get("l")
+        tags: list[str] = []
+        if t:
+            if t.endswith("."):  # stop marker: children end the subtree
+                t = t[:-1]
+            tags = t.split(",")
+            at = treetag.index(name) if name in treetag else -1
+            if at > -1:
+                treetag = treetag[:at + 1]
+            else:
+                treetag = [name]
+            treetag = treetag + tags
+        if leaf:
+            tags = tags + leaf.split(",")
+        knowntag.update(tags)
 
     pos = 0
     for m in _TAG_RE.finditer(content):
@@ -62,8 +121,25 @@ def parse_accelon3(content: str,
             _handle_pb(st, attrs)
             continue
         if not closing:
+            prolog(name, attrs)
+            depth = treetag.index(name) if name in treetag else -1
+            if depth > -1:
+                if tocobj is not None:
+                    out.errors.append(f"nested Toc {name}")
+                else:
+                    tocobj = (name, depth, st.kpos)
             if name in ("p", "段"):
                 out.n_p_fields += 1
+            elif name == "a":
+                anchor = attrs.get("name") or attrs.get("n")
+                if anchor:
+                    out.anchors.append((anchor, st.kpos))
+            elif name == "svg" and selfclose:
+                url = attrs.get("url") or attrs.get("src") or attrs.get("n")
+                if url in svg_side:
+                    out.svg_fields.append((svg_side[url], st.kpos, st.kpos))
+                else:
+                    out.errors.append(f"cannot load {url}")
             elif name in ("ptr", "註"):
                 n = attrs.get("n")
                 if n in noteid:
@@ -90,6 +166,19 @@ def parse_accelon3(content: str,
             continue
         _, kpos_open, inner_start, open_attrs = stack.pop()
         inner = content[inner_start:m.start()]
+        if tocobj is not None and name == tocobj[0]:
+            # tocobj.text = tag-stripped inner markup at the CLOSE
+            # (parseaccelon3.js onclosetag: corpus.substring(...))
+            out.toc.append((tocobj[1], re.sub(r"<.+?>", "", inner),
+                            tocobj[2]))
+            tocobj = None
+        if name == "svg":
+            url = open_attrs.get("url") or open_attrs.get("src") \
+                or open_attrs.get("n")
+            if url in svg_side:
+                out.svg_fields.append((svg_side[url], kpos_open, st.kpos))
+            else:
+                out.errors.append(f"cannot load {url}")
         if name in ("def", "釋"):
             # n comes from the OPEN tag (reference t.tag.attributes)
             n = open_attrs.get("n")

@@ -668,8 +668,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 from .queries_ext import ORACLE_SQL_EXT, QUERIES_EXT  # noqa: E402
+from .queries_ref import ORACLE_SQL_REF, QUERIES_REF  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
+QUERIES.update(QUERIES_REF)
 
 ORACLE_SQL: dict[str, str] = {
     "doc_stats": _SQL_DOC_STATS,
@@ -696,6 +698,7 @@ ORACLE_SQL: dict[str, str] = {
     # minhash_pairs / simhash / pages_pipeline / lsh_topk: rows-only
 }
 ORACLE_SQL.update(ORACLE_SQL_EXT)
+ORACLE_SQL.update(ORACLE_SQL_REF)
 
 from .queries_ext import QUALITY_SCORE_SQL_TEMPLATE  # noqa: E402
 

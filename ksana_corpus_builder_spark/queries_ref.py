@@ -1,0 +1,396 @@
+"""Reference-completion queries — round-2 closure of the remaining §2 gaps.
+
+Each query here drives a piece of reference machinery the round-1 surface
+only partially covered, as an oracle-checked (spark_fn, duckdb_sql) pair:
+
+- reverse_links_resolved (J5 complete): parse ``corpus@addr`` link strings
+  (reverselink.js:2-16), pack the address to kpos, resolve against the
+  target corpus' article starts (findArticle, romable.js:43-59) and group
+  link sources per target article (putGlobalField set semantics,
+  reverselink.js:45-58 + index.js:170-175).
+- standoff_kfields: external JSON annotation rows -> parseRange ->
+  findArticle -> key-sorted kfields per line (externalmarkup.js:11-44
+  importExternalMarkup + importKFields sort-by-key :54,89) — end-to-end
+  against a corpus parsed by the REAL pre-format parser.
+- a3_toc: the schema-driven toc tree (accelon3handler/tree.js:7-39 prolog,
+  tree.js:2 encodeTreeItem depth\\ttext\\tkpos36) + anchor global fields
+  (accelon3handler/anchor.js:1-9), through the real accelon3 parser.
+- kpos_roundtrip_col: sub-page column addressing (htll/handlers.js:51-55
+  page*column + parseInt(col,36)-10; Ksanapos.buildAddressPattern(bits,
+  column), index.js:45-48) packed/unpacked/stringified/re-parsed.
+
+Oracle strategy (the media_meta pattern): the synthetic inputs are
+arithmetic in the table keys, so DuckDB recomputes the EXPECTED output in
+closed form while the Spark path must reproduce it through the real
+machinery (string formatting -> regex parse -> kpos pack -> range resolve
+-> group), proving the whole chain.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import codec
+from .sources.tables import load
+
+# ---------------------------------------------------------- J5: reverse links
+
+# target-corpus article table: one article per (book 1..7, page 0..4),
+# article start = pack(book, page, 0, 0), id = book*100 + page. Static
+# arithmetic, so the broadcast starts list needs no collect.
+_RL_ARTICLES = [(b, p) for b in range(1, 8) for p in range(5)]
+_RL_STARTS = [codec.pack(b, p, 0, 0) for b, p in _RL_ARTICLES]
+_RL_LABELS = [str(b * 100 + p) for b, p in _RL_ARTICLES]
+
+_ADDR_RE = r"^(\d+)p(\d+)\.(\d{2})(\d{2})$"
+
+
+def _addr_to_kpos(addr):
+    """Parse the display form '{book}p{page}.{line:02d}{ch:02d}' back to a
+    packed kpos Column (display page/line are 1-based — codec.parse)."""
+    b = F.regexp_extract(addr, _ADDR_RE, 1).cast("long")
+    p = F.regexp_extract(addr, _ADDR_RE, 2).cast("long") - 1
+    ln = F.regexp_extract(addr, _ADDR_RE, 3).cast("long") - 1
+    ch = F.regexp_extract(addr, _ADDR_RE, 4).cast("long")
+    return codec.pack_col(b, p, ln, ch)
+
+
+def q_reverse_links_resolved(spark: SparkSession, sf: str) -> DataFrame:
+    """Each document emits TWO link strings; doc_id%11==0 docs omit the
+    corpus prefix on the first (same-corpus link -> targetcorpus falls back
+    to self, reverselink.js:4-9). The Spark path must regex-split the
+    ``corpus@addr`` form, pack the address, binary-search the article
+    containing it, and aggregate the distinct sorted source set per
+    (target_corpus, article)."""
+    from .operators.rangejoin import asof_join_broadcast
+    d = load(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id")
+    addr1 = F.format_string("%dp%d.%02d%02d", i % 7 + 1, i % 5 + 1,
+                            i % 9 + 1, i % 50)
+    addr2 = F.format_string("%dp%d.%02d%02d", i % 7 + 1, (i / 5).cast("long") % 5 + 1,
+                            (i / 9).cast("long") % 9 + 1, (i * 3) % 50)
+    to1 = F.when(i % 11 == 0, addr1).otherwise(F.concat(F.lit("corpusB@"), addr1))
+    to2 = F.concat(F.lit("corpusB@"), addr2)
+    links = d.select("doc_id", F.explode(F.array(to1, to2)).alias("to"))
+    has_corpus = F.col("to").contains("@")
+    parsed = links.select(
+        "doc_id",
+        F.when(has_corpus, F.regexp_extract("to", r"^(.+)@(.+)$", 1))
+        .otherwise(F.lit("self")).alias("target_corpus"),
+        F.when(has_corpus, F.regexp_extract("to", r"^(.+)@(.+)$", 2))
+        .otherwise(F.col("to")).alias("addr"))
+    with_kpos = parsed.select("doc_id", "target_corpus",
+                              _addr_to_kpos(F.col("addr")).alias("kpos"))
+    resolved = asof_join_broadcast(with_kpos, _RL_STARTS, _RL_LABELS,
+                                   fact_key="kpos", out_col="article_s")
+    return (resolved
+            .groupBy("target_corpus",
+                     F.col("article_s").cast("long").alias("article_id"))
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("doc_id").alias("n_sources"),
+                 F.concat_ws(",", F.array_sort(F.collect_set("doc_id"))
+                             .cast("array<string>")).alias("sources_str"),
+                 F.min("kpos").alias("min_kpos"),
+                 F.max("kpos").alias("max_kpos")))
+
+
+_SQL_REVERSE_LINKS_RESOLVED = """
+WITH l AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0 THEN 'self' ELSE 'corpusB' END AS target_corpus,
+    (doc_id % 7 + 1)::BIGINT AS b, (doc_id % 5)::BIGINT AS p,
+    (doc_id % 9)::BIGINT AS ln, (doc_id % 50)::BIGINT AS ch
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'corpusB',
+    (doc_id % 7 + 1)::BIGINT, ((doc_id // 5) % 5)::BIGINT,
+    ((doc_id // 9) % 9)::BIGINT, ((doc_id * 3) % 50)::BIGINT
+  FROM documents),
+r AS (
+  SELECT doc_id, target_corpus, (b * 100 + p)::BIGINT AS article_id,
+         (((b * 65536 + p) * 1024 + ln) * 1024 + ch)::BIGINT AS kpos
+  FROM l),
+stats AS (
+  SELECT target_corpus, article_id, count(*)::BIGINT AS n_links,
+         count(DISTINCT doc_id)::BIGINT AS n_sources,
+         min(kpos)::BIGINT AS min_kpos, max(kpos)::BIGINT AS max_kpos
+  FROM r GROUP BY 1, 2),
+srcs AS (
+  SELECT target_corpus, article_id,
+         string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS sources_str
+  FROM (SELECT DISTINCT target_corpus, article_id, doc_id FROM r)
+  GROUP BY 1, 2)
+SELECT stats.target_corpus, stats.article_id, n_links, n_sources,
+       sources_str, min_kpos, max_kpos
+FROM stats JOIN srcs USING (target_corpus, article_id)
+"""
+
+# ------------------------------------------- stand-off external markup
+
+_PREPARSE_LINES_SCHEMA = "doc_id long, line long, text_line string"
+
+
+def _parsed_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> (doc_id, line, text_line) through the REAL pre-format
+    parser (same kernel as q_preparse_lines)."""
+    import pandas as pd
+
+    from .functions.preparse import parse_pre
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            ids, lines, texts_out = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                parsed = parse_pre('<pb n="1"/>\n' + text)
+                if not parsed.texts:
+                    continue
+                for ln, s in enumerate(parsed.texts[0][0]):
+                    ids.append(doc_id)
+                    lines.append(ln)
+                    texts_out.append(s)
+            yield pd.DataFrame({"doc_id": ids, "line": lines,
+                                "text_line": texts_out})
+
+    return d.mapInPandas(run, schema=_PREPARSE_LINES_SCHEMA)
+
+
+def q_standoff_kfields(spark: SparkSession, sf: str) -> DataFrame:
+    """External JSON annotations resolved against a PARSED corpus:
+
+    1. corpus = documents parsed by the pre-format parser -> line table;
+    2. two stand-off JSON rows per doc, each carrying a display address
+       '1p1.LLCC' targeting line (doc_id+j) % min(n_lines, 99) at token
+       position j+1 (importExternalMarkup parses, then FLOORS into the
+       containing unit);
+    3. ingestion: get_json_object -> regex parse addr -> kpos pack ->
+       floor to line start (unpack line component) -> join to the parsed
+       line -> kfields SORTED BY KEY per line (importKFields
+       externalmarkup.js:54,89).
+
+    Output: (doc_id, line, kfields_str, n_ann, line_len) where line_len
+    proves the join hit the REAL parsed text.
+    """
+    lines = _parsed_lines(spark, sf)
+    n_eff = F.least(F.count("*"), F.lit(99))
+    nl = lines.groupBy("doc_id").agg(n_eff.alias("n_eff"))
+    j = F.explode(F.array(F.lit(0), F.lit(1))).alias("j")
+    ann_src = nl.select("doc_id", "n_eff", j)
+    target_line = (F.col("doc_id") + F.col("j")) % F.col("n_eff")
+    addr = F.format_string("1p1.%02d%02d", target_line + 1, F.col("j") + 1)
+    json_str = F.format_string(
+        '{"addr":"%s","key":"k%d","value":"v%d"}',
+        addr, (F.col("doc_id") + F.col("j")) % 4, F.col("j"))
+    # external rows: (doc_id, json) — everything downstream re-derives
+    # from the JSON string, as an external side-file would arrive
+    ann = ann_src.select("doc_id", json_str.alias("json"))
+    kpos = _addr_to_kpos(F.get_json_object("json", "$.addr"))
+    parsed = ann.select(
+        "doc_id",
+        F.get_json_object("json", "$.key").alias("key"),
+        F.get_json_object("json", "$.value").alias("value"),
+        kpos.alias("kpos"))
+    # floor to the containing line (findArticle analogue at line grain):
+    # line index = the line component of the packed address
+    pat = codec.DEFAULT_PATTERN
+    line_of = (F.col("kpos") / pat.char_mod).cast("long") % (1 << pat.linebits)
+    resolved = (parsed.withColumn("line", line_of)
+                .join(lines, ["doc_id", "line"]))
+    return (resolved.groupBy("doc_id", "line")
+            .agg(F.concat_ws(",", F.sort_array(
+                     F.collect_list(F.concat_ws(":", "key", "value"))))
+                 .alias("kfields_str"),
+                 F.count("*").alias("n_ann"),
+                 F.min(F.length("text_line")).alias("line_len")))
+
+
+# line algebra identical to _SQL_PREPARSE_LINES (queries_ext.py)
+_SQL_STANDOFF_KFIELDS = """
+WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+ix AS (SELECT doc_id, ls,
+         list_filter(range(1, len(ls) + 1), i -> ls[i] <> '') AS ne
+       FROM t),
+b AS (SELECT doc_id, ls, list_min(ne) AS f, list_max(ne) AS l
+      FROM ix WHERE len(ne) > 0),
+lines AS (
+  SELECT doc_id, (i - f)::BIGINT AS line,
+         CASE WHEN ls[i] = '' THEN ' ' ELSE ls[i] END AS text_line
+  FROM b, unnest(range(f, l + 1)) AS u(i)),
+nl AS (SELECT doc_id, least(count(*), 99)::BIGINT AS n_eff
+       FROM lines GROUP BY doc_id),
+ann AS (
+  SELECT doc_id, ((doc_id + j) % n_eff)::BIGINT AS line,
+         'k' || ((doc_id + j) % 4) AS key, 'v' || j AS value
+  FROM nl, unnest([0, 1]) AS u(j)),
+r AS (SELECT ann.doc_id, ann.line, key, value, length(text_line) AS ll
+      FROM ann JOIN lines ON lines.doc_id = ann.doc_id
+                         AND lines.line = ann.line)
+SELECT doc_id, line,
+       string_agg(key || ':' || value, ',' ORDER BY key || ':' || value)
+         AS kfields_str,
+       count(*)::BIGINT AS n_ann,
+       min(ll)::BIGINT AS line_len
+FROM r GROUP BY doc_id, line
+"""
+
+# --------------------------------------------------- a3 schema toc tree
+
+_A3_TMPL = (
+    '<頁 n="1"/>\n'
+    '<卷 t="品">T{a}</卷>\n'
+    'alpha beta\n'
+    '<品>S{b}</品>\n'
+    'gamma d\n'
+    '<a n="anc{c}"/>tail words\n'
+    '<卷>T2x{a}</卷>\n'
+    '<品>S2y{b}</品>'
+)
+
+
+def q_a3_toc(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthesized accelon3 corpora (one per document, texts derived from
+    doc_id) through the REAL a3 parser: the 卷 tag's t="品" establishes the
+    tree path, the second 卷 re-roots it (tree.js truncate-or-reset), the
+    anchor emits a global field. Output: one row per toc/anchor node with
+    the encodeTreeItem base-36 kpos. The oracle recomputes every row in
+    closed form (fixed template -> fixed line positions)."""
+    import pandas as pd
+
+    from .functions.a3parse import parse_accelon3
+    d = load(spark, sf, "documents").select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            ids, kinds, depths, texts, kposs = [], [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                content = _A3_TMPL.format(a=doc_id % 97, b=doc_id % 13,
+                                          c=doc_id % 5)
+                p = parse_accelon3(content)
+                for depth, text, kpos in p.toc:
+                    ids.append(doc_id)
+                    kinds.append("toc")
+                    depths.append(depth)
+                    texts.append(text)
+                    kposs.append(kpos)
+                for name, kpos in p.anchors:
+                    ids.append(doc_id)
+                    kinds.append("anchor")
+                    depths.append(-1)
+                    texts.append(name)
+                    kposs.append(kpos)
+            yield pd.DataFrame({"doc_id": ids, "kind": kinds,
+                                "depth": depths, "text": texts,
+                                "kpos": kposs})
+
+    rows = d.mapInPandas(
+        run, schema="doc_id long, kind string, depth long, text string, kpos long")
+    return rows.select("doc_id", "kind", "depth", "text", "kpos",
+                       F.conv(F.col("kpos").cast("string"), 10, 36)
+                       .alias("kpos36"))
+
+
+def _a3_toc_sql() -> str:
+    base = codec.pack(1, 0, 0, 0)
+    lk = codec.DEFAULT_PATTERN.char_mod  # one line = char_mod kpos steps
+    rows = [
+        ("toc", 0, "'T' || (doc_id % 97)", base + 0 * lk),
+        ("toc", 1, "'S' || (doc_id % 13)", base + 2 * lk),
+        ("anchor", -1, "'anc' || (doc_id % 5)", base + 4 * lk),
+        ("toc", 0, "'T2x' || (doc_id % 97)", base + 5 * lk),
+        ("toc", 1, "'S2y' || (doc_id % 13)", base + 6 * lk),
+    ]
+    selects = [
+        f"SELECT doc_id, '{kind}' AS kind, {depth}::BIGINT AS depth, "
+        f"{text} AS text, {kpos}::BIGINT AS kpos, "
+        f"to_base({kpos}, 36) AS kpos36 FROM documents"
+        for kind, depth, text, kpos in rows
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+# ------------------------------------------- sub-page column addressing
+
+_COL_PATTERN = codec.AddressPattern(column=4)  # htll a-d
+
+
+def q_kpos_roundtrip_col(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-addressed kpos round-trip (C11 + htll/handlers.js:51-55):
+    pack a (book, page, column, line, ch) address by folding the column
+    into the page component, unpack it back, render the display form
+    '{book}p{page}{letter}.{line}{ch}' and RE-PARSE the display form to
+    prove the inverse — all as Column arithmetic + regex (codegen)."""
+    pat = _COL_PATTERN
+    l = load(spark, sf, "lineitem")
+    book = F.col("l_orderkey") % 50 + 1
+    page = F.col("l_linenumber") % 8          # display page, 0-based
+    colx = F.col("l_suppkey") % 4
+    line = F.col("l_partkey") % 90
+    ch = F.col("l_suppkey") % 30
+    packed_page = page * pat.column + colx    # handlers.js:51-55 fold
+    kpos = codec.pack_col(book, packed_page, line, ch, pat)
+    d = l.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                 kpos.alias("kpos"))
+    u = codec.unpack_cols(F.col("kpos"), pat)
+    pg_disp = (u["page"] / pat.column).cast("long")
+    col_idx = u["page"] % pat.column
+    letter = F.element_at(F.lit(["a", "b", "c", "d"]),
+                          (col_idx + 1).cast("int"))
+    addr = F.format_string("%dp%d%s.%02d%02d", u["book"], pg_disp + 1,
+                           letter, u["line"] + 1, u["ch"])
+    d = d.select("l_orderkey", "l_linenumber", "kpos",
+                 u["book"].alias("book"), pg_disp.alias("page"),
+                 col_idx.alias("col"), u["line"].alias("line"),
+                 u["ch"].alias("ch"), addr.alias("addr"))
+    # re-parse the display form back to kpos (the codec.parse inverse)
+    col_re = r"^(\d+)p(\d+)([a-d])\.(\d{2})(\d{2})$"
+    rb = F.regexp_extract("addr", col_re, 1).cast("long")
+    rp = F.regexp_extract("addr", col_re, 2).cast("long") - 1
+    rc = (F.ascii(F.regexp_extract("addr", col_re, 3)) - 97).cast("long")
+    rl = F.regexp_extract("addr", col_re, 4).cast("long") - 1
+    rch = F.regexp_extract("addr", col_re, 5).cast("long")
+    kpos_back = codec.pack_col(rb, rp * pat.column + rc, rl, rch, pat)
+    return d.withColumn("kpos_back", kpos_back)
+
+
+def _kpos_col_sql() -> str:
+    pat = _COL_PATTERN
+    pack = (f"((((l_orderkey % 50 + 1) * {1 << pat.pagebits}"
+            f" + ((l_linenumber % 8) * {pat.column} + l_suppkey % 4))"
+            f" * {1 << pat.linebits} + l_partkey % 90) * {pat.char_mod}"
+            f" + l_suppkey % 30)")
+    u = codec.oracle_unpack_sql("kpos", pat)
+    return f"""
+WITH k AS (SELECT l_orderkey, l_linenumber, {pack}::BIGINT AS kpos
+           FROM lineitem),
+d AS (SELECT l_orderkey, l_linenumber, kpos,
+        {u['book']} AS book,
+        ({u['page']} // {pat.column})::BIGINT AS page,
+        ({u['page']} % {pat.column})::BIGINT AS col,
+        {u['line']} AS line, {u['ch']} AS ch
+      FROM k)
+SELECT l_orderkey, l_linenumber, kpos, book, page, col, line, ch,
+  book || 'p' || (page + 1) || chr((97 + col)::INT) || '.'
+    || printf('%02d', line + 1) || printf('%02d', ch) AS addr,
+  kpos::BIGINT AS kpos_back
+FROM d
+"""
+
+
+# ================================================================ registry
+
+QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "reverse_links_resolved": q_reverse_links_resolved,
+    "standoff_kfields": q_standoff_kfields,
+    "a3_toc": q_a3_toc,
+    "kpos_roundtrip_col": q_kpos_roundtrip_col,
+}
+
+ORACLE_SQL_REF: dict[str, str] = {
+    "reverse_links_resolved": _SQL_REVERSE_LINKS_RESOLVED,
+    "standoff_kfields": _SQL_STANDOFF_KFIELDS,
+    "a3_toc": _a3_toc_sql(),
+    "kpos_roundtrip_col": _kpos_col_sql(),
+}

@@ -51,3 +51,49 @@ def test_footnote_consume_and_anti_join():
 def test_rubynote():
     out = parse_accelon3(DOC, footnotes={"7": "x"})
     assert out.rubynotes and out.rubynotes[0][0] == "音讀"
+
+
+def test_schema_toc_tree():
+    """tree.js prolog: t attr establishes the path; tags in the path open
+    toc nodes at their kpos; a repeated root tag re-roots (truncate)."""
+    content = ('<頁 n="1"/>\n<卷 t="品">First</卷>\nbody text\n'
+               '<品>Sub</品>\nmore\n<卷>Second</卷>\n<品>Sub2</品>')
+    out = parse_accelon3(content)
+    assert [(d, t, codec.unpack(k)) for d, t, k in out.toc] == [
+        (0, "First", (1, 0, 0, 0)),
+        (1, "Sub", (1, 0, 2, 0)),
+        (0, "Second", (1, 0, 4, 0)),
+        (1, "Sub2", (1, 0, 5, 0)),
+    ]
+
+
+def test_toc_nested_is_error():
+    out = parse_accelon3('<頁 n="1"/>\n<卷 t="品">a<卷>b</卷>c</卷>')
+    assert any("nested Toc" in e for e in out.errors)
+
+
+def test_encode_tree_item_base36():
+    from ksana_corpus_builder_spark.functions.a3parse import encode_tree_item
+    k = codec.pack(1, 0, 2, 0)
+    assert encode_tree_item(1, "品名", k) == f"1\t品名\t{_b36(k)}"
+
+
+def _b36(n):
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    out = ""
+    while True:
+        out = digits[n % 36] + out
+        n //= 36
+        if not n:
+            return out
+
+
+def test_anchor_and_svg_fields():
+    out = parse_accelon3('<頁 n="1"/>\nab <a n="top"/>cd <svg url="u1"/>x\n'
+                         '<svg url="nope"/>', svgs={"u1": "<svg/>"})
+    # ch counts concrete TOKENS (index.js:177-186): "ab" = 1 token, so the
+    # anchor sits at ch 1 and the svg (after "cd") at ch 2
+    assert out.anchors == [("top", codec.pack(1, 0, 0, 1))]
+    assert out.svg_fields == [("<svg/>", codec.pack(1, 0, 0, 2),
+                               codec.pack(1, 0, 0, 2))]
+    assert any("cannot load nope" in e for e in out.errors)

@@ -59,3 +59,24 @@ def test_spark_column_codec(spark):
     u = k.select(*[v.alias(n) for n, v in codec.unpack_cols(F.col("k")).items()])
     row = u.collect()[0]
     assert (row.book, row.page, row.line, row.ch) == (2, 10, 5, 7)
+
+
+def test_column_pattern_roundtrip():
+    """htll/handlers.js:51-55: column folds into the page component;
+    stringify shows page number + letter; parse inverts it."""
+    pat = codec.AddressPattern(column=4)
+    k = codec.pack(3, pat.fold_page(6, 2), 4, 7, pat)
+    assert codec.stringify(k, pat) == "3p7c.0507"
+    assert codec.parse("3p7c.0507", pat) == k
+    assert pat.unfold_page(6 * 4 + 2) == (6, 2)
+    # column 'a' is the default when the letter is omitted in source pbs
+    assert codec.parse("3p7a.0507", pat) == codec.pack(
+        3, pat.fold_page(6, 0), 4, 7, pat)
+
+
+def test_column_pattern_zero_is_identity():
+    pat = codec.AddressPattern()
+    assert pat.fold_page(5, 0) == 5
+    assert pat.unfold_page(5) == (5, 0)
+    k = codec.pack(2, 5, 1, 3)
+    assert codec.parse(codec.stringify(k)) == k

@@ -59,3 +59,19 @@ def test_p_and_ptr_tags():
     assert out.n_p_fields == 1
     # inline tag bodies are consumed, surrounding text flows on
     assert out.texts[0][0][0] == "a b c"
+
+
+def test_column_addressed_pages_roundtrip_kpos():
+    """htll column letters subdivide pages (handlers.js:51-55): with
+    columns=4, ~2b lands on packed page 5 = (2-1)*4 + 1; the kpos
+    round-trips through the column-bearing AddressPattern."""
+    from ksana_corpus_builder_spark import codec
+    out = parse_htll("~1a\nfirst\n~1b\nsecond\n~2b\nthird\n", columns=4)
+    # book 1: page 1 col a -> packed 0, col b -> packed 1, page 2 col b -> 5
+    assert out.texts[0][0][0] == "first"
+    assert out.texts[0][1][0] == "second"
+    assert out.texts[0][5][0] == "third"
+    pat = codec.AddressPattern(column=4)
+    k = codec.pack(1, 5, 0, 0, pat)
+    assert codec.stringify(k, pat) == "1p2b.0100"
+    assert codec.parse("1p2b.0100", pat) == k
