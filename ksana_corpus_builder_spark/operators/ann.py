@@ -92,7 +92,7 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         probes |= frontier
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (bucketed.where(F.col("bucket").isin([int(b) for b in sorted(probes)]))
-            .select(id_col, cosine(F.col(vec_col), q).alias("cos_sim"))
+            .select(id_col, F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), id_col).limit(k))
 
 
@@ -258,7 +258,11 @@ def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             m = np.abs(X).max(axis=1)
             m[m == 0.0] = 1.0
-            Q = np.round(X * (127.0 / m)[:, None]).astype(np.int32)
+            S = X * (127.0 / m)[:, None]
+            # round HALF AWAY FROM ZERO (SQL round semantics in both Spark
+            # and DuckDB) — np.round is banker's and would diverge from
+            # the oracle twin on exact .5 products
+            Q = np.trunc(S + np.copysign(0.5, S)).astype(np.int32)
             yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(),
                                 "scale": m / 127.0, "qvec": list(Q)})
 

@@ -632,10 +632,42 @@ def q_pages_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe LSH ANN. The hyperplanes are DETERMINISTIC (fixed LCG),
+    so the oracle can replay bucketing, Hamming<=1 multiprobe, and the
+    probed top-k entirely in SQL from the same plane constants."""
     e = load(spark, sf, "embeddings")
     qv = [row[0] for row in
           e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
     return ann.lsh_topk(e, qv, k=10, nbits=6)
+
+
+def _lsh_topk_sql() -> str:
+    # literal plane matrix from the SAME deterministic generator the Spark
+    # path uses (repr round-trips doubles exactly on both engines)
+    planes = ann._hyperplanes(dim=64, nbits=6)
+    lits = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]" for row in planes) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+pl AS (SELECT {lits} AS planes),
+b AS (SELECT vec_id, emb,
+        list_sum(list_transform(range(1, 7), i ->
+          CASE WHEN list_sum(list_transform(range(1, 65),
+                     j -> emb[j] * planes[i][j])) > 0
+               THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS bucket
+      FROM e, pl),
+q AS (SELECT bucket AS qb, emb AS qemb FROM b WHERE vec_id = 0),
+cand AS (SELECT vec_id, emb, qemb FROM b, q
+         WHERE bit_count(xor(bucket, qb)) <= 1),
+p AS (SELECT vec_id, unnest(emb)::DOUBLE AS x, unnest(qemb)::DOUBLE AS y
+      FROM cand),
+s AS (SELECT vec_id,
+        round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+          AS cos_sim
+      FROM p GROUP BY vec_id)
+SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 # ================================================================ registry
 
@@ -695,7 +727,9 @@ ORACLE_SQL: dict[str, str] = {
     "top_orders_per_cust": _SQL_TOP_ORDERS_PER_CUST,
     "set_ops": _SQL_SET_OPS,
     "ann_topk": _SQL_ANN_TOPK,
-    # minhash_pairs / simhash / pages_pipeline / lsh_topk: rows-only
+    "lsh_topk": _lsh_topk_sql(),
+    # minhash_pairs / simhash (xxhash64 sketches — DuckDB has no xxhash64)
+    # and pages_pipeline (input synthesized Spark-side) stay rows-only
 }
 ORACLE_SQL.update(ORACLE_SQL_EXT)
 ORACLE_SQL.update(ORACLE_SQL_REF)
@@ -703,6 +737,11 @@ ORACLE_SQL.update(ORACLE_SQL_REF)
 from .queries_ext import QUALITY_SCORE_SQL_TEMPLATE  # noqa: E402
 
 ORACLE_SQL["quality_score"] = QUALITY_SCORE_SQL_TEMPLATE.format(
+    keep_drop_sql=_SQL_KEEP_DROP)
+
+from .queries_ext import LINEAGE_SQL_TEMPLATE  # noqa: E402
+
+ORACLE_SQL["lineage_metrics"] = LINEAGE_SQL_TEMPLATE.format(
     keep_drop_sql=_SQL_KEEP_DROP)
 
 # Enumerate oracle-backed queries FIRST, rows-only last: if the driver's

@@ -986,29 +986,59 @@ FROM x GROUP BY bucket_start
 
 # ------------------------------------------- lineage metrics (rows-only)
 
+_LINEAGE_BUCKETS = 8
+
+
 def q_lineage_metrics(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-partition lineage rows — the Spark buildMeta (index.js:293-318):
-    partition id, doc counts, rule-hit counts. Rows-only (the partition
-    split is engine-specific). The per-rule map is EXPLODED to one
-    (partition_id, rule, n_hits) row per rule so every output column is a
-    hash-stable scalar for the driver's rows-only check."""
+    """Per-PARTITION lineage rows — the Spark buildMeta (index.js:293-318):
+    bucket id, doc counts, rule-hit counts, exploded to one (bucket, rule,
+    n_hits) scalar row per rule. The partition key is the DETERMINISTIC
+    id-hash bucket (the Iceberg ``bucket(url, N)`` write-spec stand-in, the
+    same key plans/quality_pipeline repartitions by), so the rows are
+    engine-independent and the whole lineage table has a DuckDB twin built
+    from the keep_drop rule SQL. The real pipeline's runtime-partition
+    variant stays in plans/quality_pipeline.metrics()."""
     from .functions.quality import RULE_NAMES
     from .plans import quality_pipeline as qp
     docs = load(spark, sf, "documents")
     result = qp.process_text_table(docs)
-    # reuse the pages-pipeline metrics shape over the documents table
     rule_counts = F.map_from_arrays(
         F.array(*[F.lit(r) for r in RULE_NAMES]),
         F.array(*[F.sum(F.when(F.array_contains("rules_hit", r), 1)
                         .otherwise(0)) for r in RULE_NAMES]))
-    agg = (result.withColumn("partition_id", F.spark_partition_id())
-           .groupBy("partition_id")
+    agg = (result
+           .withColumn("bucket", F.pmod("doc_id", F.lit(_LINEAGE_BUCKETS)))
+           .groupBy("bucket")
            .agg(F.count("*").alias("n_docs"),
                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
                 rule_counts.alias("rule_hit_counts")))
     return agg.select(
-        "partition_id", "n_docs", "n_kept",
+        F.col("bucket").cast("long").alias("bucket"), "n_docs", "n_kept",
         F.explode("rule_hit_counts").alias("rule", "n_hits"))
+
+
+def _lineage_sql_template() -> str:
+    from .functions.quality import RULE_NAMES
+    rules = "[" + ", ".join(f"'{r}'" for r in RULE_NAMES) + "]"
+    return f"""
+WITH kd AS ({{keep_drop_sql}}),
+b AS (SELECT doc_id % {_LINEAGE_BUCKETS} AS bucket, keep, rules_hit_str
+      FROM kd),
+stats AS (SELECT bucket, count(*)::BIGINT AS n_docs,
+                 sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+          FROM b GROUP BY 1),
+rules AS (SELECT unnest({rules}) AS rule),
+hits AS (SELECT bucket, rule,
+           sum(CASE WHEN list_contains(string_split(rules_hit_str, ','),
+                                       rule) THEN 1 ELSE 0 END)::BIGINT
+             AS n_hits
+         FROM b, rules GROUP BY 1, 2)
+SELECT stats.bucket::BIGINT AS bucket, n_docs, n_kept, rule, n_hits
+FROM stats JOIN hits USING (bucket)
+"""
+
+
+LINEAGE_SQL_TEMPLATE = _lineage_sql_template()
 
 
 # ---------------------------------------------- P6: token-type census
@@ -1120,21 +1150,79 @@ FROM bins LEFT JOIN cnt ON cnt.doc_id = bins.doc_id AND cnt.bin = bins.bin
 
 
 def q_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-k over int8-quantized vectors (4x memory cut); rows-only —
-    recall vs exact is asserted in tests."""
+    """Top-k over int8-quantized vectors (4x memory cut). The oracle
+    replays the whole quantize -> dequantize -> cosine chain in SQL
+    (round-half-away matches the kernel; cosines rounded to 6dp)."""
     e = load(spark, sf, "embeddings")
     qv = [row[0] for row in
           e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
     return ann.quantized_topk(e, qv, k=10)
 
 
+_SQL_QUANTIZED_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+mm AS (SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) AS m0 FROM e),
+dq AS (SELECT vec_id,
+         list_transform(emb, x -> round(x * (127.0 /
+             (CASE WHEN m0 = 0 THEN 1.0 ELSE m0 END)))
+           * ((CASE WHEN m0 = 0 THEN 1.0 ELSE m0 END) / 127.0)) AS dv
+       FROM mm),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+p AS (SELECT vec_id, unnest(dv)::DOUBLE AS x, unnest(qemb)::DOUBLE AS y
+      FROM dq, q),
+s AS (SELECT vec_id,
+        round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+          AS cos_sim
+      FROM p GROUP BY vec_id)
+SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-probed ANN top-k; rows-only (recall vs brute force is asserted
-    in tests/test_media_ivf.py)."""
+    """IVF-probed ANN top-k. The oracle replays centroid pick (first 16 by
+    id), 6dp-rounded cosine cell assignment (ties -> lowest cell), probe
+    selection (top 8 cells for the query) and the probed top-k — the full
+    IVF plan in SQL. Recall vs brute force is additionally asserted in
+    tests/test_media_ivf.py."""
     e = load(spark, sf, "embeddings")
     qv = [row[0] for row in
           e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
     return ann.ivf_topk(e, qv, k=10, n_cells=16, n_probe=8)
+
+
+_SQL_IVF_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+c AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id < 16),
+sims AS (
+  SELECT a.vec_id, c.cell,
+    round(list_sum(list_transform(range(1, len(a.emb) + 1),
+                                  i -> a.emb[i] * c.cemb[i]))
+          / greatest(sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                     * sqrt(list_sum(list_transform(c.cemb, x -> x * x))),
+                     1e-30), 6) AS s
+  FROM e a CROSS JOIN c),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM sims) WHERE rn = 1),
+probe AS (
+  SELECT cell FROM (
+    SELECT cell, row_number() OVER (ORDER BY s DESC, cell) AS rn
+    FROM sims WHERE vec_id = 0) WHERE rn <= 8),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+p AS (SELECT e.vec_id, unnest(e.emb)::DOUBLE AS x, unnest(q.qemb)::DOUBLE AS y
+      FROM e JOIN assign USING (vec_id), q
+      WHERE assign.cell IN (SELECT cell FROM probe)),
+s2 AS (SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+           AS cos_sim
+       FROM p GROUP BY vec_id)
+SELECT vec_id, cos_sim FROM s2 ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 
 # ================================================================ registry
@@ -1208,6 +1296,8 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "char_unigrams": _SQL_CHAR_UNIGRAMS,
     "bigram_ratio": _SQL_BIGRAM_RATIO,
     "kpos_roundtrip": _kpos_sql(),
+    "quantized_topk": _SQL_QUANTIZED_TOPK,
+    "ivf_topk": _SQL_IVF_TOPK,
     "doc_tpos_map": _SQL_DOC_TPOS_MAP,
     "gap_fill_hours": _SQL_GAP_FILL_HOURS,
     "monotonic_check": _SQL_MONOTONIC_CHECK,
