@@ -113,24 +113,54 @@ BOOK_GAP = 1000  # reference putBookPos gap (inverted.js:3-6)
 def doc_offsets_with_books(tokens: DataFrame, book_col: str = "book",
                            id_col: str = "doc_id",
                            doc_gap: int = DOC_GAP,
-                           book_gap: int = BOOK_GAP) -> DataFrame:
+                           book_gap: int = BOOK_GAP,
+                           chunk_width: int = 1 << 20) -> DataFrame:
     """The reference's EXACT dual-level gap semantics: the global counter
     reserves +1000 per book (inverted.js:3-6) AND +500 per article
-    (inverted.js:85-89). Same two-pass prefix-sum pattern as doc_offsets,
-    ordered by (book, doc) — deterministic under any partitioning.
+    (inverted.js:85-89), ordered by (book, doc) — deterministic under any
+    partitioning.
+
+    Hierarchical like :func:`doc_offsets_hierarchical`: books are chunked
+    by fixed id range (a book never spans chunks, so per-chunk dense_rank
+    + prior-chunk book counts = the global 1-based book rank), every
+    window is chunk-partitioned, and only the dim-sized chunk totals see
+    an ordered reduce.
 
     tpos(doc) = sum(tokens of docs before it) + doc_gap * rank(doc)
                 + book_gap * rank(book of doc, 1-based)
     """
     counts = tokens.groupBy(book_col, id_col).agg(F.count("*").alias("n_tok"))
-    w = (Window.orderBy(book_col, id_col)
-         .rowsBetween(Window.unboundedPreceding, -1))
-    w_rn = Window.orderBy(book_col, id_col)
-    book_rank = F.dense_rank().over(Window.orderBy(book_col))
-    return counts.select(
-        book_col, id_col,
-        (F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-         + F.lit(doc_gap) * (F.row_number().over(w_rn) - 1)
-         + F.lit(book_gap) * book_rank
-         ).alias("tpos_offset"),
+    chunked = counts.withColumn(
+        "chunk", F.floor(F.col(book_col) / F.lit(int(chunk_width))).cast("long"))
+    w_in = (Window.partitionBy("chunk").orderBy(book_col, id_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    w_rn = Window.partitionBy("chunk").orderBy(book_col, id_col)
+    w_bk = Window.partitionBy("chunk").orderBy(book_col)
+    local = chunked.select(
+        book_col, id_col, "chunk",
+        F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)).alias("local_sum"),
+        (F.row_number().over(w_rn) - 1).alias("local_rank"),
+        F.dense_rank().over(w_bk).alias("local_book_rank"),
+    )
+    chunk_tot = (chunked.groupBy("chunk")
+                 .agg(F.sum("n_tok").alias("tot"),
+                      F.count("*").alias("n_docs"),
+                      F.countDistinct(book_col).alias("n_books")))
+    w_ch = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    chunk_off = chunk_tot.select(
+        "chunk",
+        F.coalesce(F.sum("tot").over(w_ch), F.lit(0)).alias("chunk_sum"),
+        F.coalesce(F.sum("n_docs").over(w_ch), F.lit(0)).alias("chunk_docs"),
+        F.coalesce(F.sum("n_books").over(w_ch), F.lit(0)).alias("chunk_books"),
+    )
+    return (
+        local.join(F.broadcast(chunk_off), "chunk")
+        .select(
+            book_col, id_col,
+            (F.col("chunk_sum") + F.col("local_sum")
+             + F.lit(doc_gap) * (F.col("chunk_docs") + F.col("local_rank"))
+             + F.lit(book_gap) * (F.col("chunk_books")
+                                  + F.col("local_book_rank"))
+             ).alias("tpos_offset"),
+        )
     )

@@ -28,7 +28,8 @@ Design-for-scale notes:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -40,6 +41,46 @@ from ..functions import scrub as S
 from ..functions.perplexity import perplexity_series
 from ..functions.text import extract_text
 
+
+@dataclass(frozen=True)
+class PipelineHooks:
+    """User-pluggable lifecycle hooks (U2/U1) — the Spark re-imagination of
+    the reference's corpus handler registry + onopentag/onclosetag
+    callbacks (index.js:477-516 lifecycle; setHandlers in parsepre.js):
+
+    - ``extra_rules``: {rule_name: Series[str] -> Series[bool]} — extra
+      vectorized quality rules, merged into ``rules_hit`` and ANDed into
+      ``keep`` exactly like built-in rules. Runs INSIDE the fused batch
+      pass, so a plugged rule costs zero extra Python boundaries.
+    - ``on_batch``: called with each result batch (post-kernel) — the
+      custom-log-sink hook (U5); side effects only, the returned value is
+      ignored. Runs on executors: use it for accumulators/logging, not
+      driver state.
+
+    Hooks must be picklable (defined at module top level) — they ship to
+    executors inside the mapInPandas closure.
+    """
+
+    extra_rules: dict[str, Callable[[pd.Series], pd.Series]] = field(
+        default_factory=dict)
+    on_batch: Callable[[pd.DataFrame], None] | None = None
+
+    def apply_rules(self, text: pd.Series,
+                    labels: pd.DataFrame) -> pd.DataFrame:
+        """Merge extra rule hits into (keep, rules_hit) — same semantics
+        as the built-in rule fold (name appended in rule order, keep ANDed
+        with NOT hit)."""
+        if not self.extra_rules:
+            return labels
+        keep = labels["keep"].copy()
+        rules_hit = labels["rules_hit"].copy()
+        for name, fn in self.extra_rules.items():
+            hit = fn(text).astype(bool)
+            keep &= ~hit
+            rules_hit = rules_hit.combine(
+                hit, lambda rh, h: rh + [name] if h else rh)
+        return pd.DataFrame({"keep": keep, "rules_hit": rules_hit})
+
 RESULT_SCHEMA = (
     "url string, warc_ts timestamp, lang string, "
     "text string, keep boolean, rules_hit array<string>, "
@@ -48,13 +89,16 @@ RESULT_SCHEMA = (
 )
 
 
-def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _process_batch(pdf: pd.DataFrame,
+                   hooks: PipelineHooks | None = None) -> pd.DataFrame:
     """One Arrow batch through every kernel. Pure pandas — shared verbatim
     with the golden oracle (oracle/golden.py), which is how byte-identity
     and F1=1.0 are achieved by construction and verified by test."""
     text = extract_text(pdf["html"])
     words = text.str.split()  # ONE split shared by rules + langid
     labels = Q.rules_hit_and_keep(text, words)
+    if hooks is not None:
+        labels = hooks.apply_rules(text, labels)
     lang = L.detect(text, words)
     scrubbed = S.scrub_series(text)
     out = pd.DataFrame({
@@ -73,11 +117,14 @@ def _process_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def process(pages: DataFrame, buckets: int | None = None) -> DataFrame:
+def process(pages: DataFrame, buckets: int | None = None,
+            hooks: PipelineHooks | None = None) -> DataFrame:
     """pages -> full result DataFrame (labels + scrubbed + scrub counters).
 
     ``buckets``: explicit url-hash partition count. None = keep the input
     partitioning (already bucketed Iceberg input at scale).
+    ``hooks``: user lifecycle hooks (extra rules, per-batch observers) —
+    None keeps the stock pipeline bit-identical.
     """
     df = pages
     if buckets:
@@ -87,7 +134,10 @@ def process(pages: DataFrame, buckets: int | None = None) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _process_batch(pdf)
+                out = _process_batch(pdf, hooks)
+                if hooks is not None and hooks.on_batch is not None:
+                    hooks.on_batch(out)
+                yield out
 
     return df.mapInPandas(run, schema=RESULT_SCHEMA)
 

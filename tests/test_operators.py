@@ -194,3 +194,30 @@ def test_salted_agg_spreads_hot_key(spark):
     p1 = (df.withColumn("s", salt).groupBy("k", "s").count()
           .where(F.col("k") == "hot"))
     assert p1.count() > 8  # 2000 rows over 16 salts: virtually all buckets hit
+
+
+def test_book_offsets_hierarchical_identical_any_chunking(spark):
+    """Chunking books by fixed id range preserves the dual-gap math for
+    every width (books never span chunks)."""
+    import pandas as pd
+    rows = [(i % 7, i, "w " * ((i % 4) + 1)) for i in range(30)]
+    d = spark.createDataFrame(pd.DataFrame(rows, columns=["book", "doc_id", "text"]))
+    tk = tokens.word_tokens(d.select("doc_id", "text")).join(
+        d.select("doc_id", "book"), "doc_id")
+    want = None
+    for width in (1, 2, 5, 1 << 20):
+        got = sorted(
+            (r.book, r.doc_id, r.tpos_offset)
+            for r in tpos.doc_offsets_with_books(tk, chunk_width=width).collect())
+        if want is None:
+            want = got
+        assert got == want, f"chunk_width={width}"
+    # dual-gap invariants: first doc of book b starts at
+    # book_gap*rank(b) + doc_gap*(docs before) + tokens before
+    offs = {(b, i): o for b, i, o in want}
+    ordered = sorted(offs)
+    prev = None
+    for key in ordered:
+        if prev is not None:
+            assert offs[key] > offs[prev]
+        prev = key

@@ -89,3 +89,50 @@ def test_distributed_generator_matches_pandas(spark, pages_pdf):
     exp = pages_pdf.sort_values("url").reset_index(drop=True)
     assert (got["text"] == exp["text"]).all()
     assert (got["lang"] == exp["lang"]).all()
+
+
+def test_pipeline_hooks_extra_rule(spark):
+    """U2 lifecycle hooks: a plugged vectorized rule merges into
+    rules_hit/keep inside the fused pass; stock hooks stay bit-identical."""
+    from ksana_corpus_builder_spark.plans import quality_pipeline as qp
+    from ksana_corpus_builder_spark.sources.pages import pages_df
+    pages = pages_df(spark, 80)
+
+    base = qp.process(pages).select("url", "keep", "rules_hit").collect()
+    stock = qp.process(pages, hooks=qp.PipelineHooks()).select(
+        "url", "keep", "rules_hit").collect()
+    assert sorted((r.url, r.keep, list(r.rules_hit)) for r in base) == \
+        sorted((r.url, r.keep, list(r.rules_hit)) for r in stock)
+
+    hooks = qp.PipelineHooks(extra_rules={
+        "has_the": lambda text: text.str.contains("the", regex=False)})
+    out = qp.process(pages, hooks=hooks).select(
+        "url", "keep", "rules_hit").collect()
+    by_url = {r.url: r for r in out}
+    base_by_url = {r.url: r for r in base}
+    hit_any = False
+    for url, r in by_url.items():
+        b = base_by_url[url]
+        if "has_the" in list(r.rules_hit):
+            hit_any = True
+            assert not r.keep
+            assert list(r.rules_hit) == list(b.rules_hit) + ["has_the"]
+        else:
+            assert (r.keep, list(r.rules_hit)) == (b.keep, list(b.rules_hit))
+    assert hit_any, "no page tripped the plugged rule - test data too clean"
+
+
+def test_pipeline_hooks_on_batch_observer(spark):
+    """on_batch runs on executors per Arrow batch - observable via a Spark
+    accumulator, without touching the output."""
+    from ksana_corpus_builder_spark.plans import quality_pipeline as qp
+    from ksana_corpus_builder_spark.sources.pages import pages_df
+    acc = spark.sparkContext.accumulator(0)
+
+    def observe(pdf):
+        acc.add(len(pdf))
+
+    pages = pages_df(spark, 60)
+    n = qp.process(pages, hooks=qp.PipelineHooks(on_batch=observe)).count()
+    assert n == 60
+    assert acc.value == 60
