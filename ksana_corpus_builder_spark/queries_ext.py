@@ -1045,9 +1045,10 @@ LINEAGE_SQL_TEMPLATE = _lineage_sql_template()
 
 def q_token_types(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer-v2 type census per document (P6: SPACE/PUNC/LATIN/NUMBER/
-    CJK with the reference's class precedence) via the tokenize_series
-    kernel; the oracle recomputes each class with disjoint-by-construction
-    RE2 classes."""
+    CJK with the reference's class precedence) via the vectorized
+    token_type_census kernel (five str.count passes per batch; equality
+    with the tokenize() walk pinned in tests); the oracle recomputes each
+    class with disjoint-by-construction RE2 classes."""
     from . import tokenizer as tk
     d = load(spark, sf, "documents").select("doc_id", "text")
 

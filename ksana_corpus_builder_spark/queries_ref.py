@@ -379,6 +379,69 @@ FROM d
 """
 
 
+# --------------------------------------- incremental checkpoint/resume
+
+
+def q_incremental_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpoint/resume END-TO-END with an oracle: events are staged as
+    two immutable increments (event_id parity split), processed through
+    streaming/incremental.process_new in TWO separate calls — the first
+    bounded to one increment, the second resuming from the manifest and
+    picking up only the remaining one — then the per-increment partial
+    hourly aggregates are merged. The merged table must equal the plain
+    batch GROUP BY over all events (the DuckDB twin), proving the
+    increment split + resume + merge loses and duplicates nothing.
+    Decimal sums keep the merge exact."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from .streaming.incremental import process_new
+
+    base = os.path.join("/tmp/ksana_incr_stage",
+                        os.path.basename(os.path.normpath(sf)))
+    in_dir, out_dir = os.path.join(base, "in"), os.path.join(base, "out")
+    src = f"{sf}/events.parquet"
+    marker = os.path.join(in_dir, "inc0.parquet")
+    if (not os.path.exists(marker)
+            or os.path.getmtime(marker) < os.path.getmtime(src)):
+        os.makedirs(in_dir, exist_ok=True)
+        t = pq.read_table(src)
+        even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+        pq.write_table(t.filter(even), os.path.join(in_dir, "inc0.parquet"))
+        pq.write_table(t.filter(pc.invert(even)),
+                       os.path.join(in_dir, "inc1.parquet"))
+
+    def batch_fn(df: DataFrame, inc: str) -> DataFrame:
+        return (df.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+                           "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.col("value").cast("decimal(38,2)"))
+                     .alias("sum_value_d")))
+
+    # first call processes ONE increment and commits its marker ...
+    first = process_new(spark, in_dir, out_dir, batch_fn, max_increments=1)
+    # ... the second call RESUMES from the manifest: only the rest runs.
+    # (Both return [] on a warm staging dir — outputs already committed.)
+    second = process_new(spark, in_dir, out_dir, batch_fn)
+    assert len(first) + len(second) in (0, 2), (first, second)
+
+    parts = spark.read.parquet(os.path.join(out_dir, "inc0.parquet"),
+                               os.path.join(out_dir, "inc1.parquet"))
+    return (parts.groupBy("hour", "event_type")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("sum_value_d").cast("double").alias("sum_value")))
+
+
+_SQL_INCREMENTAL_HOURLY = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ================================================================ registry
 
 QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -386,6 +449,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "standoff_kfields": q_standoff_kfields,
     "a3_toc": q_a3_toc,
     "kpos_roundtrip_col": q_kpos_roundtrip_col,
+    "incremental_hourly": q_incremental_hourly,
 }
 
 ORACLE_SQL_REF: dict[str, str] = {
@@ -393,4 +457,5 @@ ORACLE_SQL_REF: dict[str, str] = {
     "standoff_kfields": _SQL_STANDOFF_KFIELDS,
     "a3_toc": _a3_toc_sql(),
     "kpos_roundtrip_col": _kpos_col_sql(),
+    "incremental_hourly": _SQL_INCREMENTAL_HOURLY,
 }
