@@ -96,6 +96,31 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
             .orderBy(F.desc("cos_sim"), id_col).limit(k))
 
 
+def lsh_cosine_pairs(embeddings: DataFrame, threshold: float,
+                     nbits: int = 6, dim: int = 64,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed near-duplicate PAIRS: candidates are only vectors
+    sharing a sign-signature bucket (the scale path for embedding dedup —
+    the join touches ~n/2^nbits-sized buckets, never the cross product),
+    verified by exact cosine >= threshold (rounded to 6dp).
+
+    Candidate recall vs the exact all-pairs plan is bounded by the LSH
+    collision probability (tested in tests/test_media_ivf.py); the bucket
+    step itself is deterministic, so the whole operator has an exact SQL
+    twin. Output: (id_a, id_b, cos_sim), id_a < id_b.
+    """
+    b = lsh_bucket(embeddings, nbits, dim, vec_col) \
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
+    left, right = b.alias("a"), b.alias("b")
+    j = left.join(right, (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a.id") < F.col("b.id")))
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (j.select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"), sim.alias("cos_sim"))
+            .where(F.col("cos_sim") >= float(threshold)))
+
+
 def ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
                   id_col: str = "vec_id", vec_col: str = "embedding"):
     """Normalized coarse-centroid matrix (n_cells x dim). Centroids are the

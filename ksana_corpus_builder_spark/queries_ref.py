@@ -442,6 +442,151 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ----------------------------------- training-data pipeline widening
+
+# deterministic hash split: md5 of the id string -> first two hex chars
+# -> bucket 0..255 -> 80/10/10. Stable across engines, runs, cluster
+# sizes — the property a train/val/test split must have.
+_SPLIT_TRAIN, _SPLIT_VAL = 204, 230  # 256 * 0.8, 256 * 0.9 (floor)
+
+
+def q_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                    16, 10).cast("long")
+    split = (F.when(bucket < _SPLIT_TRAIN, "train")
+             .when(bucket < _SPLIT_VAL, "val").otherwise("test"))
+    return d.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+_SQL_TRAIN_SPLIT = f"""
+WITH h AS (
+  SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 2) AS hx FROM documents),
+b AS (
+  SELECT doc_id,
+    ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+     + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)::BIGINT AS bucket
+  FROM h)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+       WHEN bucket < {_SPLIT_VAL} THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_sample_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified deterministic sampling: k docs per source, picked by
+    hash order (md5 of id) with id tie-break — the reproducible
+    subset-per-stratum primitive for eval-set construction."""
+    from pyspark.sql import Window
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("source", "doc_id", F.col("rn").cast("long").alias("rn")))
+
+
+_SQL_SAMPLE_PER_SOURCE = """
+SELECT source, doc_id, rn::BIGINT AS rn
+FROM (SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 3
+"""
+
+_CHUNK = 256  # context-window token budget
+
+
+def q_context_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: the corpus token stream (docs concatenated
+    in id order, NO gaps) cut into fixed 256-token windows; emit one row
+    per (chunk, doc) overlap — the training-data packing map that says
+    which documents contribute how many tokens to each training sequence.
+
+    Reuses doc_offsets_hierarchical with gap=0 (the same chunked prefix
+    sum that powers tpos), so the plan stays scale-safe; the chunk fan-out
+    is an explode over each doc's touched window range.
+    """
+    from .operators import tokens as tox
+    from .operators.tpos import doc_offsets_hierarchical
+    t = tox.word_tokens(load(spark, sf, "documents"))
+    counts = t.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    offs = doc_offsets_hierarchical(t, gap=0)
+    d = counts.join(offs, "doc_id")
+    lo = (F.col("tpos_offset") / _CHUNK).cast("long")
+    hi = ((F.col("tpos_offset") + F.col("n_tok") - 1) / _CHUNK).cast("long")
+    x = d.select("doc_id", "n_tok", "tpos_offset",
+                 F.explode(F.sequence(lo, hi)).alias("chunk_id"))
+    start = F.greatest(F.col("tpos_offset"), F.col("chunk_id") * _CHUNK)
+    end = F.least(F.col("tpos_offset") + F.col("n_tok"),
+                  (F.col("chunk_id") + 1) * _CHUNK)
+    return (x.select("chunk_id", "doc_id",
+                     (end - start).alias("n_tokens_in_chunk"))
+            .where(F.col("n_tokens_in_chunk") > 0))
+
+
+_SQL_CONTEXT_CHUNKS = f"""
+WITH t AS (SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+               AS n_tok
+           FROM documents),
+o AS (SELECT doc_id, n_tok,
+        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS off
+      FROM t WHERE n_tok > 0),
+x AS (SELECT doc_id, n_tok, off,
+        unnest(range(off // {_CHUNK}, (off + n_tok - 1) // {_CHUNK} + 1))
+          AS chunk_id
+      FROM o)
+SELECT chunk_id::BIGINT AS chunk_id, doc_id,
+  (least(off + n_tok, (chunk_id + 1) * {_CHUNK})
+   - greatest(off, chunk_id * {_CHUNK}))::BIGINT AS n_tokens_in_chunk
+FROM x
+WHERE least(off + n_tok, (chunk_id + 1) * {_CHUNK})
+      - greatest(off, chunk_id * {_CHUNK}) > 0
+"""
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs through the LSH BUCKETED candidate path
+    (the 10^12-vector plan: bucket join, never cross product), exact-
+    verified by cosine. Deterministic planes -> exact SQL twin; candidate
+    recall vs the all-pairs plan is asserted in tests."""
+    from .operators.ann import lsh_cosine_pairs
+    e = load(spark, sf, "embeddings")
+    return lsh_cosine_pairs(e, threshold=0.4, nbits=6, dim=64)
+
+
+def _embed_neardup_lsh_sql() -> str:
+    from .operators.ann import _hyperplanes
+    planes = _hyperplanes(dim=64, nbits=6)
+    lits = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]" for row in planes) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+pl AS (SELECT {lits} AS planes),
+b AS (SELECT vec_id, emb,
+        list_sum(list_transform(range(1, 7), i ->
+          CASE WHEN list_sum(list_transform(range(1, 65),
+                     j -> emb[j] * planes[i][j])) > 0
+               THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS bucket
+      FROM e, pl),
+c AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.emb AS ea, b2.emb AS eb
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+p AS (SELECT id_a, id_b, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y
+      FROM c),
+s AS (SELECT id_a, id_b,
+        round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+          AS cos_sim
+      FROM p GROUP BY id_a, id_b)
+SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4
+"""
+
+
 # ================================================================ registry
 
 QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -450,6 +595,10 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_toc": q_a3_toc,
     "kpos_roundtrip_col": q_kpos_roundtrip_col,
     "incremental_hourly": q_incremental_hourly,
+    "train_split": q_train_split,
+    "sample_per_source": q_sample_per_source,
+    "context_chunks": q_context_chunks,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
 }
 
 ORACLE_SQL_REF: dict[str, str] = {
@@ -458,4 +607,8 @@ ORACLE_SQL_REF: dict[str, str] = {
     "a3_toc": _a3_toc_sql(),
     "kpos_roundtrip_col": _kpos_col_sql(),
     "incremental_hourly": _SQL_INCREMENTAL_HOURLY,
+    "train_split": _SQL_TRAIN_SPLIT,
+    "sample_per_source": _SQL_SAMPLE_PER_SOURCE,
+    "context_chunks": _SQL_CONTEXT_CHUNKS,
+    "embed_neardup_lsh": _embed_neardup_lsh_sql(),
 }

@@ -77,3 +77,36 @@ def test_indexable_tokens_positions_monotone(chars_):
     toks = tokenizer.indexable_tokens(text)
     positions = [p for _, p, _ in toks]
     assert positions == sorted(positions)
+
+
+@given(st.text(alphabet=st.characters(
+    whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+    whitelist_characters="<>/=\"\n~#%^一二三頁段註釋卷品"), max_size=200))
+@settings(max_examples=120, deadline=None)
+def test_parsers_never_crash(content):
+    """Fuzz: arbitrary junk (including half-open tags and CJK markers)
+    must parse to SOME result on every parser family - errors are
+    reported, never raised."""
+    from ksana_corpus_builder_spark.functions.a3parse import parse_accelon3
+    from ksana_corpus_builder_spark.functions.htllparse import parse_htll
+    from ksana_corpus_builder_spark.functions.preparse import parse_pre
+    from ksana_corpus_builder_spark.functions.teiparse import parse_tei
+    parse_pre(content)
+    parse_htll(content)
+    parse_htll(content, columns=4)
+    parse_accelon3(content)
+    parse_tei(content)
+
+
+@given(st.integers(1, 4000), st.integers(0, 300), st.integers(0, 3),
+       st.integers(0, 500), st.integers(0, 800))
+@settings(max_examples=200, deadline=None)
+def test_codec_column_roundtrip_property(book, page, col, line, ch):
+    from ksana_corpus_builder_spark import codec
+    pat = codec.AddressPattern(column=4)
+    # the display form is 2-digit line/ch (reference golden "1p3.0102-04"),
+    # so the stringify<->parse inverse is defined for line+1 <= 99, ch <= 99
+    line, ch = line % 99, ch % 100
+    page = page % ((1 << pat.pagebits) // 4 - 1)
+    k = codec.pack(book, pat.fold_page(page, col), line, ch, pat)
+    assert codec.parse(codec.stringify(k, pat), pat) == k
