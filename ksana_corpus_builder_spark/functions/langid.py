@@ -53,6 +53,11 @@ def detect(texts: pd.Series, words: pd.Series | None = None) -> pd.DataFrame:
         words = t.str.split()
     n_words = words.str.len().fillna(0).astype(np.int64)
 
+    # One tight pass over the word stream with a dict lookup per word.
+    # MEASURED FASTER than the "vectorized" alternatives (explode + lower
+    # + per-language isin + bincount = 4-6 full C passes over 3.7M words
+    # ~= 3.0s/20k docs; this single pass ~= 2.0s): when per-element work
+    # is a small-dict probe, one fused pass beats many flat passes.
     get = _W2L.get
     nl = len(LANGS)
 
