@@ -37,6 +37,11 @@ HEADLINE = (
     "shipping_priority", "order_priority_count", "salted_source_agg",
     "posting_lists", "ivf_topk", "media_meta", "stream_hourly",
     "indexed_postings", "preparse_lines",
+    # round-2 additions (suite grows 27 -> 35 incl. the flagship;
+    # cross-round totals compare via BASELINE.md per-round notes)
+    "reverse_links_resolved", "standoff_kfields", "a3_toc",
+    "train_split", "context_chunks", "embed_neardup_lsh",
+    "lsh_topk", "quantized_topk",
 )
 
 

@@ -59,15 +59,30 @@ def _hyperplanes(dim: int, nbits: int) -> list[list[float]]:
 
 def lsh_bucket(embeddings: DataFrame, nbits: int = 12, dim: int = 64,
                vec_col: str = "embedding") -> DataFrame:
-    """+ `bucket` column = sign-bit signature under random hyperplanes."""
-    planes = _hyperplanes(dim, nbits)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        pl = F.array(*[F.lit(x) for x in p])
-        bit = F.when(_dot(F.col(vec_col), pl) > 0, F.lit(1).cast("long")) \
-               .otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
-    return embeddings.withColumn("bucket", bucket)
+    """+ `bucket` column = sign-bit signature under random hyperplanes.
+
+    One numpy matmul per Arrow batch ((rows x dim) @ (dim x nbits) then a
+    packed sign-bit dot) — the former per-plane interpreted array
+    aggregates cost nbits CodegenFallback passes per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    P = np.asarray(_hyperplanes(dim, nbits), dtype=np.float64)  # (nbits, dim)
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+    out_schema = StructType(list(embeddings.schema.fields)
+                            + [StructField("bucket", LongType())])
+
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pdf = pdf.copy()
+            pdf["bucket"] = ((X @ P.T) > 0) @ weights
+            yield pdf
+
+    return embeddings.mapInPandas(bucketize, schema=out_schema)
 
 
 def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
@@ -109,16 +124,35 @@ def lsh_cosine_pairs(embeddings: DataFrame, threshold: float,
     collision probability (tested in tests/test_media_ivf.py); the bucket
     step itself is deterministic, so the whole operator has an exact SQL
     twin. Output: (id_a, id_b, cos_sim), id_a < id_b.
+
+    The verify stage is one dense numpy gram matrix PER BUCKET
+    (applyInPandas) — BLAS, not per-pair interpreted expressions; one
+    shuffle on the bucket key, which is also the at-rest partition key of
+    a bucketed vector table at scale.
     """
+    import numpy as np
+    import pandas as pd
+
     b = lsh_bucket(embeddings, nbits, dim, vec_col) \
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket")
-    left, right = b.alias("a"), b.alias("b")
-    j = left.join(right, (F.col("a.bucket") == F.col("b.bucket"))
-                  & (F.col("a.id") < F.col("b.id")))
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
-    return (j.select(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"), sim.alias("cos_sim"))
-            .where(F.col("cos_sim") >= float(threshold)))
+    thr = float(threshold)
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = pdf["id"].to_numpy()
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.maximum(np.linalg.norm(X, axis=1), 1e-30)
+        sims = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+        ia, ib = np.nonzero(np.triu(sims >= thr, k=1))
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": lo.astype("int64"),
+                             "id_b": hi.astype("int64"),
+                             "cos_sim": sims[ia, ib]})
+
+    return (b.groupBy("bucket")
+            .applyInPandas(pairs, schema="id_a long, id_b long, cos_sim double"))
 
 
 def ivf_centroids(embeddings: DataFrame, n_cells: int = 16,

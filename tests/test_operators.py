@@ -221,3 +221,16 @@ def test_book_offsets_hierarchical_identical_any_chunking(spark):
         if prev is not None:
             assert offs[key] > offs[prev]
         prev = key
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains + an isolated vertex: labels converge to the component
+    minimum in diameter rounds."""
+    from ksana_corpus_builder_spark.operators.components import (
+        connected_components)
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 10, 20], "dst": [2, 3, 11, 10]}))
+    verts = spark.createDataFrame(pd.DataFrame({"id": [99]}))
+    got = {r.id: r.component
+           for r in connected_components(edges, vertices=verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 10, 99: 99}
