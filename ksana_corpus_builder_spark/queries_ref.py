@@ -383,6 +383,55 @@ FROM d
 """
 
 
+# ------------------------------------- TPC-H Q5 shape: 6-way local join
+
+
+def q_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Q5 shape: customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region
+    with the LOCAL-supplier equi-condition (customer and supplier share a
+    nation) — the 6-way join pattern with two broadcast dims and a
+    compound join key. Revenue stays decimal-exact until the final cast."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    l = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(38,4)")
+           * (F.lit(1).cast("decimal(38,4)")
+              - F.col("l_discount").cast("decimal(38,4)")))
+    j = (c.join(o, c.c_custkey == o.o_custkey)
+         .join(l, l.l_orderkey == o.o_orderkey)
+         .join(s, (l.l_suppkey == s.s_suppkey)
+               & (c.c_nationkey == s.s_nationkey))
+         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+_SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+        * (CAST(1 AS DECIMAL(38,4)) - CAST(l_discount AS DECIMAL(38,4)))), 2)
+       AS DOUBLE) AS revenue,
+  count(*)::BIGINT AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 # --------------------------------------- incremental checkpoint/resume
 
 
@@ -655,6 +704,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "context_chunks": q_context_chunks,
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "dedup_components": q_dedup_components,
+    "local_supplier_volume": q_local_supplier_volume,
 }
 
 ORACLE_SQL_REF: dict[str, str] = {
@@ -668,4 +718,5 @@ ORACLE_SQL_REF: dict[str, str] = {
     "context_chunks": _SQL_CONTEXT_CHUNKS,
     "embed_neardup_lsh": _embed_neardup_lsh_sql(),
     "dedup_components": _SQL_DEDUP_COMPONENTS,
+    "local_supplier_volume": _SQL_LOCAL_SUPPLIER_VOLUME,
 }
