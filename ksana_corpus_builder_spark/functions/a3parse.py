@@ -50,6 +50,7 @@ class A3Parsed:
     toc: list[tuple[int, str, int]] = field(default_factory=list)  # depth, text, kpos
     svg_fields: list[tuple[str, int, int]] = field(default_factory=list)  # content, start, end
     anchors: list[tuple[str, int]] = field(default_factory=list)  # name, kpos
+    images: list[tuple[str, str, int]] = field(default_factory=list)  # type, base64, kpos
     n_p_fields: int = 0
     errors: list[str] = field(default_factory=list)
 
@@ -71,9 +72,40 @@ _TOC_IGNORE = frozenset({"頁", "段", "註", "釋", "RM", "RN", "P", "PB",
                          "圖", "IMAGE", "IMG", "圖文字"})
 
 
+_IMG_ACCEPT = frozenset({"jpeg", "png", "svg"})
+_DATA_URL_RE = re.compile(r"data.+?base64,")
+
+
+def _resolve_image(name: str, images: dict[str, str],
+                   errors: list[str]) -> tuple[str, str] | None:
+    """img handler content resolution (accelon3handler/img.js:1-41):
+    jpg->jpeg alias, accept jpeg/png/svg only, data-URL prefix stripped,
+    raw svg kept utf8, other raw content base64-encoded; missing -> warn."""
+    import base64 as b64mod
+    imagetype = name.rsplit(".", 1)[-1] if "." in name else ""
+    short = name.rsplit("/", 1)[-1]
+    if imagetype == "jpg":
+        imagetype = "jpeg"
+    if imagetype not in _IMG_ACCEPT:
+        errors.append(f"unsupported image type {imagetype}")
+        return None
+    content = images.get(short)
+    if content is None:
+        errors.append(f"cannot find imagefile {name}")
+        return None
+    m = _DATA_URL_RE.match(content)
+    if m:
+        return imagetype, content[m.end():]
+    if imagetype == "svg":
+        return imagetype, content  # raw svg stays utf8 (img.js:25-27)
+    return imagetype, b64mod.b64encode(content.encode("utf-8")).decode("ascii")
+
+
 def parse_accelon3(content: str,
                    footnotes: dict[str, str] | None = None,
-                   svgs: dict[str, str] | None = None) -> A3Parsed:
+                   svgs: dict[str, str] | None = None,
+                   images: dict[str, str] | None = None,
+                   toc_root: str | None = None) -> A3Parsed:
     content = content.lstrip("﻿")
     content = re.sub(r"\r\n?", "\n", content).strip()
 
@@ -82,13 +114,17 @@ def parse_accelon3(content: str,
     out.texts = st.out.texts
     fns = dict(footnotes or {})
     svg_side = dict(svgs or {})
+    img_side = dict(images or {})
     noteid: dict[str, int] = {}
     stack: list[tuple[str, int, int, dict]] = []  # (name, kpos, inner_start, open_attrs)
 
-    # schema-driven toc state (tree.js:7-39 prolog + parseaccelon3.js)
+    # schema-driven toc state (tree.js:7-39 prolog + parseaccelon3.js).
+    # toc_root (= reference opts.toc): items deeper than the root tag are
+    # SUBTREE items emitted at depth-rootdepth; the root tag itself emits
+    # at depth 0; shallower tags emit nothing (parseaccelon3.js:25-56).
     treetag: list[str] = []
     knowntag: set[str] = {"檔"}
-    tocobj: tuple[str, int, int] | None = None  # (tag, depth, kpos)
+    tocobj: tuple[str, int, int, int] | None = None  # (tag, depth, kpos, subtree)
 
     def prolog(name: str, attrs: dict[str, str]) -> None:
         nonlocal treetag
@@ -127,7 +163,11 @@ def parse_accelon3(content: str,
                 if tocobj is not None:
                     out.errors.append(f"nested Toc {name}")
                 else:
-                    tocobj = (name, depth, st.kpos)
+                    rootdepth = (treetag.index(toc_root)
+                                 if toc_root in treetag else -1)
+                    subtree = (rootdepth if rootdepth > -1
+                               and depth > rootdepth else 0)
+                    tocobj = (name, depth, st.kpos, subtree)
             if name in ("p", "段"):
                 out.n_p_fields += 1
             elif name == "a":
@@ -140,6 +180,12 @@ def parse_accelon3(content: str,
                     out.svg_fields.append((svg_side[url], st.kpos, st.kpos))
                 else:
                     out.errors.append(f"cannot load {url}")
+            elif name in ("img", "圖") and selfclose:
+                iname = attrs.get("n") or attrs.get("f")
+                if iname:
+                    r = _resolve_image(iname, img_side, out.errors)
+                    if r is not None:
+                        out.images.append((r[0], r[1], st.kpos))
             elif name in ("ptr", "註"):
                 n = attrs.get("n")
                 if n in noteid:
@@ -169,8 +215,14 @@ def parse_accelon3(content: str,
         if tocobj is not None and name == tocobj[0]:
             # tocobj.text = tag-stripped inner markup at the CLOSE
             # (parseaccelon3.js onclosetag: corpus.substring(...))
-            out.toc.append((tocobj[1], re.sub(r"<.+?>", "", inner),
-                            tocobj[2]))
+            tname, tdepth, tkpos, subtree = tocobj
+            ttext = re.sub(r"<.+?>", "", inner)
+            if toc_root is None:
+                out.toc.append((tdepth, ttext, tkpos))
+            elif subtree:
+                out.toc.append((tdepth - subtree, ttext, tkpos))
+            elif tname == toc_root:
+                out.toc.append((0, ttext, tkpos))
             tocobj = None
         if name == "svg":
             url = open_attrs.get("url") or open_attrs.get("src") \
@@ -179,6 +231,12 @@ def parse_accelon3(content: str,
                 out.svg_fields.append((svg_side[url], kpos_open, st.kpos))
             else:
                 out.errors.append(f"cannot load {url}")
+        if name in ("img", "圖"):
+            iname = open_attrs.get("n") or open_attrs.get("f")
+            if iname:
+                r = _resolve_image(iname, img_side, out.errors)
+                if r is not None:
+                    out.images.append((r[0], r[1], kpos_open))
         if name in ("def", "釋"):
             # n comes from the OPEN tag (reference t.tag.attributes)
             n = open_attrs.get("n")

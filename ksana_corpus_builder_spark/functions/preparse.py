@@ -63,14 +63,18 @@ class PreParsed:
     articles: list[tuple[str, int]] = field(default_factory=list)  # (caption, kpos)
     rend: list[tuple[str, int, int]] = field(default_factory=list)  # (value, start, end)
     errors: list[str] = field(default_factory=list)
+    disorder_pages: list[int] = field(default_factory=list)  # randomPage mode
 
 
 class _State:
     def __init__(self, rend_class: tuple[str, ...] = (),
-                 skip_leading_nl: bool = True):
+                 skip_leading_nl: bool = True, random_page: bool = False):
         # pre format skips the first newline of a fresh page
-        # (parsepre.js:52); htll does not (parsehtll.js:27-35)
+        # (parsepre.js:52); htll does not (parsehtll.js:27-35).
+        # random_page: out-of-order pages are COLLECTED (disorderPages,
+        # reference index.js:256-261 opts.randomPage), not errors.
         self.skip_leading_nl = skip_leading_nl
+        self.random_page = random_page
         self.rend_class = set(rend_class)
         self.book = 0
         self.pb = None
@@ -155,7 +159,10 @@ def _handle_pb(st: _State, attrs: dict[str, str]) -> None:
     if page == 1:
         st.add_book()
     elif page != st.prevpage + 1:
-        st.out.errors.append(f"wrong page number {page}, prev:{st.prevpage}")
+        if st.random_page:
+            st.out.disorder_pages.append(page)
+        else:
+            st.out.errors.append(f"wrong page number {page}, prev:{st.prevpage}")
     st.pb = page
     st.pbline = 0
     st.line_start = (max(st.book, 1), page - 1, 0)
@@ -163,14 +170,15 @@ def _handle_pb(st: _State, attrs: dict[str, str]) -> None:
     st.prevpage = page
 
 
-def parse_pre(content: str, rend_class: tuple[str, ...] = ()) -> PreParsed:
+def parse_pre(content: str, rend_class: tuple[str, ...] = (),
+              random_page: bool = False) -> PreParsed:
     """One document through the full pre-format pipeline (normalize ->
     markup walk -> token/line/position bookkeeping -> finalize)."""
     # BOM + CRLF normalize + trim (parsexml.js:86-93 / parsepre.js:186-194)
     content = content.lstrip("﻿")
     content = re.sub(r"\r\n?", "\n", content).strip()
 
-    st = _State(tuple(rend_class))
+    st = _State(tuple(rend_class), random_page=random_page)
     pos = 0
     for m in _TAG_RE.finditer(content):
         if m.start() > pos:

@@ -383,6 +383,39 @@ FROM d
 """
 
 
+# ----------------------------------------- C9: base64 image round-trip
+
+
+def q_media_base64(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary payloads base64-encoded and decoded back in-engine (the
+    reference stores images as base64, accelon3handler/img.js:19-41).
+    The oracle knows the expected sizes arithmetically; `ok` proves the
+    Spark decode inverts the encode byte-for-byte (md5 equality)."""
+    from .operators.media import synth_media
+    docs = load(spark, sf, "documents")
+    m = synth_media(docs)
+    # Spark's base64 is the MIME codec (CRLF every 76 chars) — strip the
+    # line breaks for the canonical length; unbase64 accepts either form
+    b64 = F.regexp_replace(F.base64("payload"), "[\\r\\n]", "")
+    return m.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.length(b64).cast("long").alias("b64_len"),
+        (F.md5(F.unbase64(b64)) == F.md5(F.col("payload"))).alias("ok"))
+
+
+_SQL_MEDIA_BASE64 = """
+WITH d AS (
+  SELECT doc_id,
+    (12 + (16 + doc_id % 64) * (16 + doc_id % 48))::BIGINT AS n_bytes
+  FROM documents)
+SELECT doc_id, n_bytes,
+  (4 * ((n_bytes + 2) // 3))::BIGINT AS b64_len,
+  TRUE AS ok
+FROM d
+"""
+
+
 # ------------------------------------- TPC-H Q5 shape: 6-way local join
 
 
@@ -705,6 +738,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_neardup_lsh": q_embed_neardup_lsh,
     "dedup_components": q_dedup_components,
     "local_supplier_volume": q_local_supplier_volume,
+    "media_base64": q_media_base64,
 }
 
 ORACLE_SQL_REF: dict[str, str] = {
@@ -719,4 +753,5 @@ ORACLE_SQL_REF: dict[str, str] = {
     "embed_neardup_lsh": _embed_neardup_lsh_sql(),
     "dedup_components": _SQL_DEDUP_COMPONENTS,
     "local_supplier_volume": _SQL_LOCAL_SUPPLIER_VOLUME,
+    "media_base64": _SQL_MEDIA_BASE64,
 }

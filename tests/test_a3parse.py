@@ -97,3 +97,36 @@ def test_anchor_and_svg_fields():
     assert out.svg_fields == [("<svg/>", codec.pack(1, 0, 0, 2),
                                codec.pack(1, 0, 0, 2))]
     assert any("cannot load nope" in e for e in out.errors)
+
+
+def test_img_handler_types_and_dataurl():
+    """img.js:1-41: jpeg/png/svg accepted (jpg aliased), data-URL prefix
+    stripped, raw svg stays utf8, other raw content base64-encoded,
+    missing/unsupported warn."""
+    import base64
+    content = ('<頁 n="1"/>\nx<圖 n="a.jpg"/><img n="pics/b.png"/>'
+               '<圖 n="c.svg"/><圖 n="d.gif"/><圖 n="missing.png"/>')
+    out = parse_accelon3(content, images={
+        "a.jpg": "data:image/jpeg;base64,QUJD",
+        "b.png": "rawbytes",
+        "c.svg": "<svg>vector</svg>",
+    })
+    by_type = {t: b for t, b, _ in out.images}
+    assert by_type["jpeg"] == "QUJD"  # data-URL prefix stripped
+    assert by_type["png"] == base64.b64encode(b"rawbytes").decode()
+    assert by_type["svg"] == "<svg>vector</svg>"  # raw svg stays utf8
+    assert any("unsupported image type gif" in e for e in out.errors)
+    assert any("cannot find imagefile missing.png" in e for e in out.errors)
+
+
+def test_toc_root_subtree_depths():
+    """parseaccelon3.js opts.toc: the root tag emits depth 0, deeper tags
+    emit depth-rootdepth, shallower tags emit nothing."""
+    content = ('<頁 n="1"/>\n<檔 t="卷,品">F</檔>\n<卷>Root</卷>\n'
+               'text\n<品>Leaf</品>')
+    out_all = parse_accelon3(content)
+    assert [(d, t) for d, t, _ in out_all.toc] == [
+        (0, "F"), (1, "Root"), (2, "Leaf")]
+    out_rooted = parse_accelon3(content, toc_root="卷")
+    assert [(d, t) for d, t, _ in out_rooted.toc] == [
+        (0, "Root"), (1, "Leaf")]  # 檔 (shallower) not emitted

@@ -80,3 +80,14 @@ def test_page_gap_reported():
     doc = '<pb n="1"/>\nx\n<pb n="3"/>\ny\n'
     out = parse_pre(doc)
     assert any("wrong page" in e for e in out.errors)
+
+
+def test_random_page_collects_disorder():
+    """U4 randomPage (index.js:256-261): out-of-order pages are collected,
+    not errors; default mode still errors."""
+    content = '<pb n="1"/>\na\n<pb n="5"/>\nb'
+    strict = parse_pre(content)
+    assert any("wrong page number 5" in e for e in strict.errors)
+    loose = parse_pre(content, random_page=True)
+    assert loose.disorder_pages == [5]
+    assert not any("wrong page number" in e for e in loose.errors)
