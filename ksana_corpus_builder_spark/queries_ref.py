@@ -492,6 +492,8 @@ def q_incremental_hourly(spark: SparkSession, sf: str) -> DataFrame:
     marker = os.path.join(in_dir, "inc0.parquet")
     if (not os.path.exists(marker)
             or os.path.getmtime(marker) < os.path.getmtime(src)):
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)  # stale manifest+outputs
         os.makedirs(in_dir, exist_ok=True)
         t = pq.read_table(src)
         even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
