@@ -383,6 +383,22 @@ FROM d
 """
 
 
+# ------------------------------------- streaming: sliding windows
+
+
+def q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window counts computed BY THE STREAMING ENGINE (2h window,
+    1h slide — each event in exactly two windows); must equal the batch
+    two-offset replication SQL."""
+    from .streaming.windowed import stream_sliding_query
+    return stream_sliding_query(spark, sf)
+
+
+def _stream_sliding_sql() -> str:
+    from .streaming.windowed import STREAM_SLIDING_SQL
+    return STREAM_SLIDING_SQL
+
+
 # ----------------------------------------- C9: base64 image round-trip
 
 
@@ -741,6 +757,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "local_supplier_volume": q_local_supplier_volume,
     "media_base64": q_media_base64,
+    "stream_sliding": q_stream_sliding,
 }
 
 ORACLE_SQL_REF: dict[str, str] = {
@@ -756,4 +773,5 @@ ORACLE_SQL_REF: dict[str, str] = {
     "dedup_components": _SQL_DEDUP_COMPONENTS,
     "local_supplier_volume": _SQL_LOCAL_SUPPLIER_VOLUME,
     "media_base64": _SQL_MEDIA_BASE64,
+    "stream_sliding": _stream_sliding_sql(),
 }

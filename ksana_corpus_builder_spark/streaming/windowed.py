@@ -99,3 +99,40 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
        CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
+
+
+def stream_sliding_query(spark: SparkSession, sf: str) -> DataFrame:
+    """SLIDING windows through the streaming engine: 2-hour windows
+    sliding every hour, so each event lands in exactly two windows —
+    the overlap shape tumbling windows can't express. Oracle: each event
+    replicated to its two window starts (floor-hour and floor-hour-1h)."""
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    stage = stage_events_dir(sf)
+    stream = spark.readStream.schema(batch.schema).parquet(stage)
+    agg = (stream
+           .withColumn("ts", F.col("ts").cast("timestamp"))
+           .withWatermark("ts", "4 hours")
+           .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                    "event_type")
+           .agg(F.count("*").alias("n")))
+    name = f"stream_sliding_{abs(hash(sf)) % 10**8}"
+    import tempfile
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return (spark.table(name)
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH")
+                    .alias("window_start"),
+                    "event_type", F.col("n").cast("long").alias("n")))
+
+
+STREAM_SLIDING_SQL = """
+SELECT strftime(date_trunc('hour', ts) - to_hours(off), '%Y-%m-%d %H')
+         AS window_start,
+       event_type, count(*)::BIGINT AS n
+FROM events, unnest([0, 1]) AS u(off)
+GROUP BY 1, 2
+"""

@@ -154,3 +154,58 @@ def test_stream_checkpoint_restart(spark, tmp_path):
     import pathlib as _pl
     offsets = sorted((_pl.Path(ckpt) / "offsets").iterdir())
     assert len(offsets) >= 2  # one batch per run at least
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data semantics: with a 1h watermark and append mode, an event
+    arriving in a later micro-batch but older than the watermark is
+    DROPPED — its window never appears in the output."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write_one(name, rows, mtime):
+        df = pd.DataFrame(rows, columns=["ts"])
+        df["ts"] = pd.to_datetime(df["ts"])
+        spark.createDataFrame(df).coalesce(1).write.mode("overwrite") \
+            .parquet(str(tmp_path / ("stage_" + name)))
+        import glob
+        import shutil
+        part = glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        dst = str(src / name)
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = _time.time() - 10_000
+    write_one("f1.parquet",
+              [["2024-01-01 10:00:00"], ["2024-01-01 10:30:00"],
+               ["2024-01-01 13:00:00"]], t0)
+    # a watermark computed from batch N takes effect in batch N+2's input
+    # filter (it is committed after N, applied from N+1 onward), so the
+    # late row rides in the THIRD file: by then the watermark is 12:30
+    # and the 10:50 row's window [10:00,11:00) is fully past it -> dropped
+    write_one("f2.parquet", [["2024-01-01 13:30:00"]], t0 + 100)
+    write_one("f3.parquet",
+              [["2024-01-01 10:50:00"], ["2024-01-01 14:00:00"]], t0 + 200)
+
+    stream = (spark.readStream.schema("ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count("*").alias("n")))
+    q = (agg.writeStream.format("memory").queryName("late_drop_test")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.w.start.strftime("%H:%M"): r.n
+           for r in spark.table("late_drop_test").collect()}
+    # final watermark = 14:00 - 1h = 13:00 => only windows ending <= 13:00
+    # can appear; the late 10:50 event was dropped, so the 10:00 window
+    # keeps count 2 (it would be 3 had the late row been accepted)
+    assert got == {"10:00": 2}, got
