@@ -660,7 +660,9 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     with its component id and whether it is the kept representative
     (the component minimum). Docs with no near-dup partner form singleton
     components. The oracle recomputes the same fixpoint as a recursive-CTE
-    transitive closure over the identical pair SQL."""
+    transitive closure over the identical pair SQL. (At 100 TB the pair
+    input is the minhash_lsh_pairs candidate stream instead of the exact
+    Jaccard join; the component operator is input-agnostic.)"""
     from .operators.components import connected_components
     from .operators.dedup import ngram_jaccard_pairs
     d = load(spark, sf, "documents")
