@@ -740,9 +740,12 @@ ORACLE_SQL["quality_score"] = QUALITY_SCORE_SQL_TEMPLATE.format(
     keep_drop_sql=_SQL_KEEP_DROP)
 
 from .queries_ext import LINEAGE_SQL_TEMPLATE  # noqa: E402
+from .queries_ext import QUALITY_REPORT_SQL_TEMPLATE  # noqa: E402
 
 ORACLE_SQL["lineage_metrics"] = LINEAGE_SQL_TEMPLATE.format(
     keep_drop_sql=_SQL_KEEP_DROP)
+ORACLE_SQL["quality_report"] = QUALITY_REPORT_SQL_TEMPLATE.format(
+    keep_drop_sql=_SQL_KEEP_DROP, langid_sql=_langid_sql())
 
 # Enumerate oracle-backed queries FIRST, rows-only last: if the driver's
 # correctness pass is budget-bounded, every slot it does check is a full

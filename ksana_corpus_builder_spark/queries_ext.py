@@ -461,6 +461,34 @@ FROM ({keep_drop_sql}) kd
 """
 
 
+def q_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-quality dashboard table: keep-rate per (source,
+    detected language) — label kernel + langid kernel + dim join in one
+    metrics rollup (integer counts only; rate = n_kept/n_docs is left to
+    the consumer so the row stays hash-exact)."""
+    from .queries import q_keep_drop, q_langid
+    kd = q_keep_drop(spark, sf).select("doc_id", "keep")
+    lg = q_langid(spark, sf).select("doc_id", "lang_detected")
+    src = load(spark, sf, "documents").select("doc_id", "source")
+    return (kd.join(lg, "doc_id").join(src, "doc_id")
+            .groupBy("source", "lang_detected")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept")))
+
+
+QUALITY_REPORT_SQL_TEMPLATE = """
+WITH kd AS ({keep_drop_sql}),
+lg AS ({langid_sql})
+SELECT d.source, lg.lang_detected,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN kd.keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM documents d
+JOIN kd ON kd.doc_id = d.doc_id
+JOIN lg ON lg.doc_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------- structured streaming twin
 
 def q_stream_hourly(spark: SparkSession, sf: str) -> DataFrame:
@@ -1269,6 +1297,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_bpe": q_token_count_bpe,
     "quality_score": q_quality_score,
+    "quality_report": q_quality_report,
 }
 
 ORACLE_SQL_EXT: dict[str, str] = {
