@@ -211,6 +211,64 @@ def q_standoff_kfields(spark: SparkSession, sf: str) -> DataFrame:
                  F.min(F.length("text_line")).alias("line_len")))
 
 
+def q_standoff_afields(spark: SparkSession, sf: str) -> DataFrame:
+    """The importAFields/importFields shape (externalmarkup.js:20-60,
+    90-120): the same stand-off annotations resolved to their ARTICLE
+    (document), then pivoted to parallel pos[]/value[] arrays SORTED BY
+    KPOS (the struct-of-arrays finalize, romable.js:221-265) — emitted
+    string-joined for cross-engine hashing. Complements standoff_kfields,
+    which sorts by KEY at line grain."""
+    lines = _parsed_lines(spark, sf).persist()
+    n_eff = F.least(F.count("*"), F.lit(99))
+    nl = lines.groupBy("doc_id").agg(n_eff.alias("n_eff"))
+    j = F.explode(F.array(F.lit(0), F.lit(1))).alias("j")
+    ann_src = nl.select("doc_id", "n_eff", j)
+    target_line = (F.col("doc_id") + F.col("j")) % F.col("n_eff")
+    addr = F.format_string("1p1.%02d%02d", target_line + 1, F.col("j") + 1)
+    json_str = F.format_string(
+        '{"addr":"%s","key":"k%d","value":"v%d"}',
+        addr, (F.col("doc_id") + F.col("j")) % 4, F.col("j"))
+    ann = ann_src.select("doc_id", json_str.alias("json"))
+    kpos = _addr_to_kpos(F.get_json_object("json", "$.addr"))
+    parsed = ann.select(
+        "doc_id", F.get_json_object("json", "$.value").alias("value"),
+        kpos.alias("kpos"))
+    # pivot: kpos-sorted parallel arrays per article (sort_array on the
+    # (kpos, value) struct sorts by kpos first — the romable finalize)
+    pv = F.sort_array(F.collect_list(F.struct("kpos", "value")))
+    return (parsed.groupBy("doc_id")
+            .agg(F.count("*").alias("n_ann"),
+                 F.concat_ws(",", F.transform(pv, lambda s: s["kpos"])
+                             .cast("array<string>")).alias("pos_str"),
+                 F.concat_ws(",", F.transform(pv, lambda s: s["value"]))
+                 .alias("value_str")))
+
+
+_SQL_STANDOFF_AFIELDS = """
+WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+ix AS (SELECT doc_id, ls,
+         list_filter(range(1, len(ls) + 1), i -> ls[i] <> '') AS ne
+       FROM t),
+b AS (SELECT doc_id, ls, list_min(ne) AS f, list_max(ne) AS l
+      FROM ix WHERE len(ne) > 0),
+lines AS (
+  SELECT doc_id, (i - f)::BIGINT AS line
+  FROM b, unnest(range(f, l + 1)) AS u(i)),
+nl AS (SELECT doc_id, least(count(*), 99)::BIGINT AS n_eff
+       FROM lines GROUP BY doc_id),
+ann AS (
+  SELECT doc_id,
+         ((1 * 65536 + 0) * 1024 + (doc_id + j) % n_eff) * 1024 + j + 1
+           AS kpos,
+         'v' || j AS value
+  FROM nl, unnest([0, 1]) AS u(j))
+SELECT doc_id, count(*)::BIGINT AS n_ann,
+       string_agg(kpos::VARCHAR, ',' ORDER BY kpos) AS pos_str,
+       string_agg(value, ',' ORDER BY kpos) AS value_str
+FROM ann GROUP BY doc_id
+"""
+
+
 # line algebra identical to _SQL_PREPARSE_LINES (queries_ext.py)
 _SQL_STANDOFF_KFIELDS = """
 WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
@@ -749,6 +807,7 @@ SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4
 QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reverse_links_resolved": q_reverse_links_resolved,
     "standoff_kfields": q_standoff_kfields,
+    "standoff_afields": q_standoff_afields,
     "a3_toc": q_a3_toc,
     "kpos_roundtrip_col": q_kpos_roundtrip_col,
     "incremental_hourly": q_incremental_hourly,
@@ -765,6 +824,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL_REF: dict[str, str] = {
     "reverse_links_resolved": _SQL_REVERSE_LINKS_RESOLVED,
     "standoff_kfields": _SQL_STANDOFF_KFIELDS,
+    "standoff_afields": _SQL_STANDOFF_AFIELDS,
     "a3_toc": _a3_toc_sql(),
     "kpos_roundtrip_col": _kpos_col_sql(),
     "incremental_hourly": _SQL_INCREMENTAL_HOURLY,
