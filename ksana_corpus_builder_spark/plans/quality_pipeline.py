@@ -150,9 +150,11 @@ TEXT_RESULT_SCHEMA = (
 
 
 def process_text_table(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       hooks: PipelineHooks | None = None) -> DataFrame:
     """Same fused single-pass kernel stage for a table whose text is already
-    extracted (the `documents` testdata shape). One Python boundary."""
+    extracted (the `documents` testdata shape). One Python boundary.
+    ``hooks`` behaves exactly as in :func:`process`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -161,6 +163,8 @@ def process_text_table(docs: DataFrame, id_col: str = "doc_id",
             text = pdf[text_col].fillna("")
             words = text.str.split()  # ONE split shared by rules + langid
             lab = Q.rules_hit_and_keep(text, words)
+            if hooks is not None:
+                lab = hooks.apply_rules(text, lab)
             lang = L.detect(text, words)
             sc = S.scrub_series(text)
             out = pd.DataFrame({
@@ -173,6 +177,8 @@ def process_text_table(docs: DataFrame, id_col: str = "doc_id",
             })
             for n in S.SCRUB_RULE_NAMES:
                 out[f"scrub_{n}"] = sc[f"scrub_{n}"]
+            if hooks is not None and hooks.on_batch is not None:
+                hooks.on_batch(out)
             yield out
 
     return docs.select(id_col, text_col).mapInPandas(run, schema=TEXT_RESULT_SCHEMA)

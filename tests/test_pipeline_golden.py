@@ -136,3 +136,16 @@ def test_pipeline_hooks_on_batch_observer(spark):
     n = qp.process(pages, hooks=qp.PipelineHooks(on_batch=observe)).count()
     assert n == 60
     assert acc.value == 60
+
+
+def test_text_table_hooks_parity(spark):
+    """process_text_table honors the same hook contract as process()."""
+    from ksana_corpus_builder_spark.plans import quality_pipeline as qp
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hooks = qp.PipelineHooks(extra_rules={
+        "has_the": lambda text: text.str.contains("the", regex=False)})
+    out = qp.process_text_table(docs, hooks=hooks) \
+        .where("array_contains(rules_hit, 'has_the')")
+    n = out.count()
+    assert n > 0
+    assert out.where("keep").count() == 0  # plugged rule forces drop
