@@ -126,6 +126,16 @@ def parse_accelon3(content: str,
     knowntag: set[str] = {"檔"}
     tocobj: tuple[str, int, int, int] | None = None  # (tag, depth, kpos, subtree)
 
+    def _resolve_toc(inner: str) -> None:
+        tname, tdepth, tkpos, subtree = tocobj
+        ttext = re.sub(r"<.+?>", "", inner)
+        if toc_root is None:
+            out.toc.append((tdepth, ttext, tkpos))
+        elif subtree:
+            out.toc.append((tdepth - subtree, ttext, tkpos))
+        elif tname == toc_root:
+            out.toc.append((0, ttext, tkpos))
+
     def prolog(name: str, attrs: dict[str, str]) -> None:
         nonlocal treetag
         if name in _TOC_IGNORE:
@@ -163,11 +173,24 @@ def parse_accelon3(content: str,
                 if tocobj is not None:
                     out.errors.append(f"nested Toc {name}")
                 else:
-                    rootdepth = (treetag.index(toc_root)
-                                 if toc_root in treetag else -1)
-                    subtree = (rootdepth if rootdepth > -1
-                               and depth > rootdepth else 0)
+                    # reference parseaccelon3.js:27-29: subtree =
+                    # depth > treerootdepth ? treerootdepth : 0. With
+                    # opts.toc absent from the path treerootdepth = -1,
+                    # so subtree = -1 and items emit at depth+1.
+                    if toc_root is None:
+                        subtree = 0
+                    else:
+                        rootdepth = (treetag.index(toc_root)
+                                     if toc_root in treetag else -1)
+                        subtree = rootdepth if depth > rootdepth else 0
                     tocobj = (name, depth, st.kpos, subtree)
+                    if selfclose:
+                        # SAX fires onclosetag for self-closing tags too
+                        # (parseaccelon3.js onclosetag): resolve the toc
+                        # node immediately with empty inner text so it
+                        # never dangles into a spurious "nested Toc".
+                        _resolve_toc("")
+                        tocobj = None
             if name in ("p", "段"):
                 out.n_p_fields += 1
             elif name == "a":
@@ -215,14 +238,7 @@ def parse_accelon3(content: str,
         if tocobj is not None and name == tocobj[0]:
             # tocobj.text = tag-stripped inner markup at the CLOSE
             # (parseaccelon3.js onclosetag: corpus.substring(...))
-            tname, tdepth, tkpos, subtree = tocobj
-            ttext = re.sub(r"<.+?>", "", inner)
-            if toc_root is None:
-                out.toc.append((tdepth, ttext, tkpos))
-            elif subtree:
-                out.toc.append((tdepth - subtree, ttext, tkpos))
-            elif tname == toc_root:
-                out.toc.append((0, ttext, tkpos))
+            _resolve_toc(inner)
             tocobj = None
         if name == "svg":
             url = open_attrs.get("url") or open_attrs.get("src") \

@@ -63,7 +63,13 @@ def lsh_bucket(embeddings: DataFrame, nbits: int = 12, dim: int = 64,
 
     One numpy matmul per Arrow batch ((rows x dim) @ (dim x nbits) then a
     packed sign-bit dot) — the former per-plane interpreted array
-    aggregates cost nbits CodegenFallback passes per row."""
+    aggregates cost nbits CodegenFallback passes per row.
+
+    Projections are rounded to 6dp BEFORE the sign test (matching the SQL
+    twins' round(list_sum(...), 6) > 0) so summation-order ulp noise can
+    never flip a bucket bit near zero — the repo's no-float-threshold rule.
+    Contract: `vec_col` is non-null fixed-dim; null vectors cannot be
+    bucketed and are dropped here (defensive, none exist in the tables)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
@@ -75,11 +81,12 @@ def lsh_bucket(embeddings: DataFrame, nbits: int = 12, dim: int = 64,
 
     def bucketize(batches):
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             pdf = pdf.copy()
-            pdf["bucket"] = ((X @ P.T) > 0) @ weights
+            pdf["bucket"] = (np.round(X @ P.T, 6) > 0) @ weights
             yield pdf
 
     return embeddings.mapInPandas(bucketize, schema=out_schema)
@@ -98,7 +105,7 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     planes = _hyperplanes(dim, nbits)
     qb = 0
     for i, p in enumerate(planes):
-        if sum(x * y for x, y in zip(query_vec, p)) > 0:
+        if round(sum(x * y for x, y in zip(query_vec, p)), 6) > 0:
             qb |= 1 << i
     probes = {qb}
     frontier = {qb}

@@ -157,7 +157,10 @@ def _apply_perms(acc, h, A, B, seq):
             m, F.pmod(h * F.element_at(A, i) + F.element_at(B, i), F.lit(_P))))
 
 
-_LAST_SIG: DataFrame | None = None
+# Cache keyed by the OWNING SparkSession: a persisted DF from a stopped
+# session must not be reused (sameSemantics/unpersist on it raises), and a
+# fresh session in the same process starts with a cold cache.
+_LAST_SIG: tuple[object, DataFrame] | None = None
 
 
 def minhash_lsh_pairs(documents: DataFrame, k: int = 32, bands: int = 8,
@@ -176,13 +179,24 @@ def minhash_lsh_pairs(documents: DataFrame, k: int = 32, bands: int = 8,
     # a different plan (new input/params) unpersists the old one first.
     global _LAST_SIG
     new_sig = minhash_signatures(documents, k, n, id_col, text_col)
-    if _LAST_SIG is not None and _LAST_SIG.sameSemantics(new_sig):
-        sig = _LAST_SIG
+    session = documents.sparkSession
+    cached = None
+    if _LAST_SIG is not None and _LAST_SIG[0] is session:
+        try:
+            if _LAST_SIG[1].sameSemantics(new_sig):
+                cached = _LAST_SIG[1]
+        except Exception:
+            cached = None
+    if cached is not None:
+        sig = cached
     else:
-        if _LAST_SIG is not None:
-            _LAST_SIG.unpersist()
+        if _LAST_SIG is not None and _LAST_SIG[0] is session:
+            try:
+                _LAST_SIG[1].unpersist()
+            except Exception:
+                pass
         sig = new_sig.persist()
-        _LAST_SIG = sig
+        _LAST_SIG = (session, sig)
     # The band join carries ONLY (id, band-bucket) — signatures join back
     # after pair dedup, so the shuffle rows stay ~16 bytes instead of
     # 16 + 8k bytes. At 100 TB the candidate-pair shuffle is the bottleneck.

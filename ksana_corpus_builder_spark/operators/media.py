@@ -64,26 +64,55 @@ def synth_media(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return documents.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+_MAGIC_U32 = int.from_bytes(MAGIC, "big")
+
+
+def _flat_view(pay: pd.Series):
+    """Zero-copy batch view of a binary column via its Arrow buffers:
+    (flat uint8 data, per-row start offsets, per-row byte lengths).
+    The variable-length payloads are never touched row-by-row — every
+    kernel below indexes this single flat buffer with numpy."""
+    import pyarrow as pa
+
+    arr = pa.array(pay.to_numpy(), type=pa.binary())
+    off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    offsets = (np.frombuffer(off_buf, dtype=np.int32)
+               [arr.offset: arr.offset + len(arr) + 1].astype(np.int64))
+    data = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None else np.empty(0, np.uint8))
+    return data, offsets[:-1], np.diff(offsets)
+
+
+def _parse_headers(pay: pd.Series):
+    """Whole-batch header parse: gather the fixed-width 12-byte prefix of
+    every payload from the flat Arrow buffer with one fancy-index, view it
+    as big-endian uint32 triples (magic, width, height). Returns
+    (is_ksim, w, h, n_bytes) numpy arrays — zero per-row struct.unpack."""
+    data, starts, n_bytes = _flat_view(pay)
+    ok_len = n_bytes >= 12
+    idx = starts[:, None] + np.arange(12, dtype=np.int64)
+    # clamp short rows' out-of-range gathers (masked out by ok_len below)
+    idx = np.minimum(idx, max(int(data.size) - 1, 0))
+    H = (data[idx] if data.size else
+         np.zeros((len(starts), 12), np.uint8)).view(">u4").astype(np.int64)
+    is_ksim = ok_len & (H[:, 0] == _MAGIC_U32)
+    w = np.where(is_ksim, H[:, 1], 0)
+    h = np.where(is_ksim, H[:, 2], 0)
+    return is_ksim, w, h, n_bytes
+
+
 def decode_meta(media: DataFrame) -> DataFrame:
-    """binary -> typed metadata struct. Vectorized batch decode; the header
-    parse is bytes-slicing only (the STUB decode boundary)."""
+    """binary -> typed metadata struct. Whole-batch header decode (the STUB
+    decode boundary): unknown containers are reported, not crashed on."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fmts, ws, hs, ns = [], [], [], []
-            for b in pdf["payload"]:
-                if b[:4] == MAGIC:
-                    w, h = struct.unpack(">II", b[4:12])
-                    fmts.append("ksim")
-                else:  # unknown container: report, don't crash the batch
-                    w = h = 0
-                    fmts.append("unknown")
-                ws.append(w)
-                hs.append(h)
-                ns.append(len(b))
+            is_ksim, w, h, n_bytes = _parse_headers(pdf["payload"])
             yield pd.DataFrame({
-                "doc_id": pdf["doc_id"], "kind": pdf["kind"], "fmt": fmts,
-                "width": ws, "height": hs, "n_bytes": ns,
+                "doc_id": pdf["doc_id"], "kind": pdf["kind"],
+                "fmt": np.where(is_ksim, "ksim", "unknown"),
+                "width": w.astype("int32"), "height": h.astype("int32"),
+                "n_bytes": n_bytes.astype("int32"),
             })
 
     return media.mapInPandas(dec, schema=META_SCHEMA)
@@ -107,12 +136,27 @@ def byte_histogram(media: DataFrame, bins: int = 16) -> DataFrame:
 
     def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for b in pdf["payload"]:
-                body = np.frombuffer(b, dtype=np.uint8, offset=12)
-                hist = np.bincount(body >> 4, minlength=bins).astype(np.float64)
-                feats.append(hist / max(1.0, float(body.size)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})
+            if not len(pdf):
+                continue
+            pay = pdf["payload"]
+            # whole batch over the flat Arrow buffer: tag each body byte
+            # with its row (segment id), then a single bincount over
+            # row*bins + nibble — no per-row Python in the histogram math
+            data, starts, full = _flat_view(pay)
+            lens = (full - 12).clip(min=0)
+            total = int(full.sum())
+            row = np.repeat(np.arange(len(pay), dtype=np.int64), full)
+            seg_starts = np.concatenate(([0], np.cumsum(full)[:-1]))
+            pos_in_row = np.arange(total, dtype=np.int64) \
+                - np.repeat(seg_starts, full)
+            body = pos_in_row >= 12
+            seg = row[body]
+            buf = data[(np.repeat(starts, full) + pos_in_row)[body]]
+            flat = np.bincount(seg * bins + (buf >> 4).astype(np.int64),
+                               minlength=len(pay) * bins)
+            hist = flat.reshape(len(pay), bins).astype(np.float64)
+            feats = hist / np.maximum(1.0, lens.astype(np.float64))[:, None]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": list(feats)})
 
     return media.mapInPandas(feat, schema=FEAT_SCHEMA)
 
@@ -154,24 +198,26 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     Frame model for the synthetic container: each frame is `width` bytes
     of the body; every `every`-th frame is sampled.
     """
-    import struct as _struct
-
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, offs, sizes = [], [], [], []
-            for doc_id, kind, b in zip(pdf["doc_id"], pdf["kind"],
-                                       pdf["payload"]):
-                if kind != "video" or b[:4] != MAGIC:
-                    continue
-                w, h = _struct.unpack(">II", b[4:12])
-                n_frames = h  # one frame per row of the synthetic body
-                for i in range(0, n_frames, every):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    offs.append(12 + i * w)
-                    sizes.append(w)
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
-                                "byte_offset": offs, "frame_bytes": sizes})
+            if not len(pdf):
+                continue
+            is_ksim, w, h, _ = _parse_headers(pdf["payload"])
+            keep = is_ksim & (pdf["kind"].to_numpy() == "video")
+            ids, w, h = pdf["doc_id"].to_numpy()[keep], w[keep], h[keep]
+            # explode rows -> sampled frames with a repeat + segment-local
+            # arange (global arange minus repeated segment starts): the
+            # whole batch in numpy, no per-row/per-frame Python loops
+            n_samp = (h + every - 1) // every  # one frame per body row
+            seg = np.repeat(np.arange(len(ids), dtype=np.int64), n_samp)
+            starts = np.concatenate(([0], np.cumsum(n_samp)[:-1]))
+            frame_idx = (np.arange(int(n_samp.sum()), dtype=np.int64)
+                         - np.repeat(starts, n_samp)) * every
+            yield pd.DataFrame({"doc_id": ids[seg],
+                                "frame_idx": frame_idx.astype("int32"),
+                                "byte_offset": (12 + frame_idx * w[seg])
+                                .astype("int32"),
+                                "frame_bytes": w[seg].astype("int32")})
 
     return media.mapInPandas(frames, schema=FRAME_SCHEMA)
 

@@ -637,7 +637,8 @@ def q_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     probed top-k entirely in SQL from the same plane constants."""
     e = load(spark, sf, "embeddings")
     qv = [row[0] for row in
-          e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+          e.where(F.col("vec_id") == 0).select(F.explode("embedding"))
+          .collect()]  # collect-ok: one query vector (dim rows)
     return ann.lsh_topk(e, qv, k=10, nbits=6)
 
 
@@ -653,8 +654,8 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
 pl AS (SELECT {lits} AS planes),
 b AS (SELECT vec_id, emb,
         list_sum(list_transform(range(1, 7), i ->
-          CASE WHEN list_sum(list_transform(range(1, 65),
-                     j -> emb[j] * planes[i][j])) > 0
+          CASE WHEN round(list_sum(list_transform(range(1, 65),
+                     j -> emb[j] * planes[i][j])), 6) > 0
                THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS bucket
       FROM e, pl),
 q AS (SELECT bucket AS qb, emb AS qemb FROM b WHERE vec_id = 0),

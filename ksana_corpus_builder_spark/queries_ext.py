@@ -1184,7 +1184,8 @@ def q_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     (round-half-away matches the kernel; cosines rounded to 6dp)."""
     e = load(spark, sf, "embeddings")
     qv = [row[0] for row in
-          e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+          e.where(F.col("vec_id") == 0).select(F.explode("embedding"))
+          .collect()]  # collect-ok: one query vector (dim rows)
     return ann.quantized_topk(e, qv, k=10)
 
 
@@ -1217,7 +1218,8 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_media_ivf.py."""
     e = load(spark, sf, "embeddings")
     qv = [row[0] for row in
-          e.where(F.col("vec_id") == 0).select(F.explode("embedding")).collect()]
+          e.where(F.col("vec_id") == 0).select(F.explode("embedding"))
+          .collect()]  # collect-ok: one query vector (dim rows)
     return ann.ivf_topk(e, qv, k=10, n_cells=16, n_probe=8)
 
 

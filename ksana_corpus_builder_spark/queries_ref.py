@@ -349,8 +349,11 @@ def q_a3_toc(spark: SparkSession, sf: str) -> DataFrame:
 
     rows = d.mapInPandas(
         run, schema="doc_id long, kind string, depth long, text string, kpos long")
+    # lowercase: the reference encodeTreeItem (JS toString(36)) and this
+    # repo's encode_tree_item both emit lowercase base-36; Spark conv /
+    # DuckDB to_base are uppercase, so fold case on BOTH engines.
     return rows.select("doc_id", "kind", "depth", "text", "kpos",
-                       F.conv(F.col("kpos").cast("string"), 10, 36)
+                       F.lower(F.conv(F.col("kpos").cast("string"), 10, 36))
                        .alias("kpos36"))
 
 
@@ -367,7 +370,7 @@ def _a3_toc_sql() -> str:
     selects = [
         f"SELECT doc_id, '{kind}' AS kind, {depth}::BIGINT AS depth, "
         f"{text} AS text, {kpos}::BIGINT AS kpos, "
-        f"to_base({kpos}, 36) AS kpos36 FROM documents"
+        f"lcase(to_base({kpos}, 36)) AS kpos36 FROM documents"
         for kind, depth, text, kpos in rows
     ]
     return "\nUNION ALL\n".join(selects)
@@ -786,8 +789,8 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
 pl AS (SELECT {lits} AS planes),
 b AS (SELECT vec_id, emb,
         list_sum(list_transform(range(1, 7), i ->
-          CASE WHEN list_sum(list_transform(range(1, 65),
-                     j -> emb[j] * planes[i][j])) > 0
+          CASE WHEN round(list_sum(list_transform(range(1, 65),
+                     j -> emb[j] * planes[i][j])), 6) > 0
                THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS bucket
       FROM e, pl),
 c AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.emb AS ea, b2.emb AS eb

@@ -25,14 +25,15 @@ def test_no_row_at_a_time_udf():
 # Per-row Python iteration over batch columns inside hot-path kernels —
 # `for x in pdf[...]`, `zip(pdf[...]`, `.iterrows()`. Parser kernels
 # (functions/) iterate per DOCUMENT by design (state-machine parse has no
-# vector form) and operators/media.py slices variable-length binaries, so
-# the lint covers the columnar-math operators where a loop means an
-# unvectorized kernel.
+# vector form), so the lint covers the columnar-math operators where a
+# loop means an unvectorized kernel — including the media header decoders
+# (whole-batch np.frombuffer since round 3).
 _ROW_LOOP = re.compile(r"for\s+[\w, ]+\s+in\s+(zip\(\s*pdf\[|pdf\[)|\.iterrows\(\)")
 _ROW_LOOP_FILES = ("operators/ann.py", "operators/rangejoin.py",
                    "operators/dedup.py", "operators/skew.py",
                    "operators/tpos.py", "operators/postings.py",
-                   "operators/bigram.py", "tokenizer.py")
+                   "operators/bigram.py", "operators/media.py",
+                   "tokenizer.py")
 
 
 def test_no_per_row_loops_in_columnar_kernels():
@@ -47,15 +48,15 @@ def test_no_per_row_loops_in_columnar_kernels():
     assert not offenders, f"per-row Python loops in columnar kernels: {offenders}"
 
 
-def test_no_collect_in_operators():
-    # operators must stay distributed; driver-side collect is allowed only
-    # in queries.py (query parameters) and tools/tests. Exception: a line
-    # carrying a `# collect-ok:` marker — a reviewed, BOUNDED dim-sized
-    # collect (e.g. n_cells IVF centroids), never data-sized.
+def test_no_unmarked_collect_anywhere():
+    # the engine must stay distributed; EVERY driver-side collect in
+    # non-test code needs a `# collect-ok:` marker — a reviewed, BOUNDED
+    # dim-sized collect (e.g. n_cells IVF centroids, one query vector),
+    # never data-sized. Repo-wide, not just operators/ (CLAUDE.md
+    # invariant; VERDICT r2 "Next round" #5).
     offenders = []
-    for sub in ("operators", "plans", "functions"):
-        for p in (PKG / sub).rglob("*.py"):
-            for i, line in enumerate(p.read_text().splitlines(), 1):
-                if ".collect()" in line and "# collect-ok:" not in line:
-                    offenders.append(f"{p}:{i}")
-    assert not offenders, f"driver-side collect in {offenders}"
+    for p in PKG.rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if ".collect()" in line and "# collect-ok:" not in line:
+                offenders.append(f"{p.relative_to(PKG)}:{i}")
+    assert not offenders, f"unmarked driver-side collect in {offenders}"
