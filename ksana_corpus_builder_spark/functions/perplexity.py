@@ -42,6 +42,15 @@ def _build_matrix() -> np.ndarray:
 
 _LOGP = _build_matrix()
 
+# Integer micro-log-probs: each transition scores an int64 (log10 P * 1e6,
+# rounded once at model build). The per-document score is then an EXACT
+# integer sum — independent of summation order, so numpy (pairwise), a SQL
+# sequential list_sum, and distributed partial sums all agree bit-for-bit.
+# That order-independence is exactly what a cross-engine oracle twin and a
+# 1000-executor rollup both need; the float appears only once at the end
+# (10 ** (-sum / (1e6 * n)), two exactly-representable integer inputs).
+_LOGP_E6 = np.round(_LOGP * 1e6).astype(np.int64)
+
 # codepoint -> alphabet index LUT: one vectorized gather per document
 # instead of one masked scan per alphabet character (39x fewer passes)
 _LUT = np.full(0x110000, _V - 1, dtype=np.uint8)
@@ -56,7 +65,18 @@ def perplexity_series(texts: pd.Series) -> pd.Series:
             return float("inf")
         codes = np.frombuffer(t.lower().encode("utf-32-le"), dtype=np.uint32)
         idx = _LUT[codes]
-        lp = _LOGP[idx[:-1], idx[1:]]
-        return float(10.0 ** (-lp.mean()))
+        s = int(_LOGP_E6[idx[:-1], idx[1:]].sum())
+        n = len(idx) - 1
+        return float(10.0 ** (-s / (n * 1e6)))
 
     return texts.map(one).astype(np.float64)
+
+
+def sql_parts() -> tuple[str, str, int]:
+    """(alphabet list literal, flat V*V micro-log-prob matrix literal, V)
+    for a DuckDB twin that replays the model exactly: code lookup via
+    list_position (0 -> OOV bucket V-1), transition score =
+    matrix[code_a * V + code_b + 1] (1-based list index), integer sum."""
+    alpha = "[" + ", ".join(f"'{c}'" for c in _ALPHABET) + "]"
+    mat = "[" + ", ".join(str(int(v)) for v in _LOGP_E6.ravel()) + "]"
+    return alpha, mat, _V

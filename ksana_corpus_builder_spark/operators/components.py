@@ -39,19 +39,26 @@ def connected_components(edges: DataFrame, src: str = "src",
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b"))))
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym.b == labels.id)
                .groupBy("a").agg(F.min("label").alias("nbr_label")))
+        upd = F.least(labels.label, F.coalesce(nbr.nbr_label, labels.label))
         new = (labels.join(nbr, labels.id == nbr.a, "left")
-               .select(labels.id,
-                       F.least(labels.label,
-                               F.coalesce(nbr.nbr_label, labels.label))
-                       .alias("label")))
-        new = new.localCheckpoint()  # truncate per-round lineage
-        n_changed = (new.alias("n").join(labels.alias("o"), "id")
-                     .where(F.col("n.label") != F.col("o.label")).count())
+               .select(labels.id, upd.alias("label"),
+                       (upd != labels.label).alias("changed")))
+        # ONE Spark job per round: the convergence metric is a CollectMetrics
+        # node (df.observe) evaluated DURING the localCheckpoint job, not a
+        # separate count() join afterwards — JVM-side, zero extra passes
+        # (tests assert the one-job-per-round contract via job groups).
+        obs = Observation()
+        new = new.observe(obs, F.sum(F.col("changed").cast("long"))
+                          .alias("n_changed"))
+        new = (new.select("id", "label")
+               .localCheckpoint())  # truncate per-round lineage (eager job)
         labels = new
-        if n_changed == 0:
+        if not obs.get["n_changed"]:
             break
     else:
         raise RuntimeError(f"components did not converge in {max_iter} rounds")

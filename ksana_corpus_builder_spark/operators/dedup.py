@@ -225,6 +225,91 @@ def minhash_lsh_pairs(documents: DataFrame, k: int = 32, bands: int = 8,
             .select("id_a", "id_b", est.alias("est_jaccard")))
 
 
+def _md5_hash28(s):
+    """Portable 28-bit hash: first 7 hex digits of md5, as a long. Both
+    engines have md5; 28 bits keeps every affine product < 2^59 (ANSI-safe)
+    and parses in DuckDB via a strpos fold — the cross-engine base hash for
+    the value-oracled sketch twins below."""
+    return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+
+
+def minhash_md5_pairs(documents: DataFrame, k: int = 16, bands: int = 4,
+                      n: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Portable-hash twin of minhash_lsh_pairs: identical algorithm (affine
+    Carter-Wegman permutations over shingle hashes -> band keys -> bucket
+    join -> signature verify) with the md5-derived 28-bit base hash instead
+    of xxhash64, so a DuckDB oracle replays EVERY stage value-exactly.
+    The xxhash64 path stays the production default (JVM-side, 64-bit);
+    this twin is the correctness evidence for the shared algorithm.
+    Band keys are the concatenated band rows (strings) rather than hashed
+    buckets — value-transparent, slightly wider shuffle rows.
+    -> (id_a, id_b, n_match, est_jaccard)."""
+    rows_per_band = k // bands
+    consts = _perm_constants(k)
+    A = F.lit([a for a, _ in consts]).cast("array<long>")
+    B = F.lit([b for _, b in consts]).cast("array<long>")
+    seq = F.lit(list(range(1, k + 1)))
+    sh = shingle_array(documents, n, id_col, text_col)
+    sig = F.aggregate(
+        F.col("shingles"),
+        F.array_repeat(F.lit(_P).cast("long"), k),
+        lambda acc, s: _apply_perms(acc, _md5_hash28(s), A, B, seq),
+    )
+    sigs = (sh.where(F.size("shingles") > 0)
+            .select(id_col, sig.alias("sig")))
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*[
+            F.concat_ws(",", *[
+                F.element_at("sig", band * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ]) for band in range(bands)
+        ])).alias("band", "bkey"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    n_match = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                              lambda m: m))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", n_match.cast("long").alias("n_match"),
+                    (n_match / F.lit(k)).alias("est_jaccard")))
+
+
+def simhash_md5(documents: DataFrame, nbits: int = 28,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Portable-hash SimHash twin (28-bit fingerprint over the md5-derived
+    base hash): same sign-of-bit-count fold as simhash64, every stage
+    integer-exact, replayable in DuckDB. -> (doc_id, simhash)."""
+    seqn = F.lit(list(range(1, nbits + 1)))
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), nbits),
+        lambda acc, t: _add_bits(acc, _md5_hash28(t), seqn),
+    )
+    fp = F.aggregate(
+        F.zip_with(counts, seqn,
+                   lambda c, i: F.when(
+                       c > 0, F.call_function("shiftleft",
+                                              F.lit(1).cast("long"), i - 1)
+                   ).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+    return (documents
+            .where(F.size(toks) > 0)
+            .select(id_col, fp.alias("simhash")))
+
+
 def simhash64(documents: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens: bit i of the fingerprint is the sign

@@ -805,6 +805,82 @@ SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4
 """
 
 
+# -------------------------------------- portable-hash sketch twins (round 3)
+# minhash_pairs / simhash keep xxhash64 (the 64-bit JVM-side production
+# hash, rows-only: DuckDB has no xxhash64). These twins run the IDENTICAL
+# algorithm over a 28-bit md5-derived base hash both engines share, so the
+# whole sketch pipeline gets exact cross-engine value parity.
+
+_MD5H28 = ("list_sum(list_transform(range(1, 8), i2 -> "
+           "(strpos('0123456789abcdef', substr(md5({s}), i2, 1)) - 1) "
+           "* (1::BIGINT << (4 * (7 - i2)))))")
+_DOC_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def q_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import minhash_md5_pairs
+    return minhash_md5_pairs(load(spark, sf, "documents"), k=16, bands=4, n=3)
+
+
+def _minhash_md5_sql() -> str:
+    from .operators.dedup import _P, _perm_constants
+    consts = _perm_constants(16)
+    al = "[" + ", ".join(str(a) for a, _ in consts) + "]"
+    bl = "[" + ", ".join(str(b) for _, b in consts) + "]"
+    return f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+shd AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))
+    ELSE []::VARCHAR[] END AS shingles
+  FROM t),
+hvt AS (
+  SELECT doc_id,
+    list_transform(shingles, s -> {_MD5H28.format(s='s')}) AS hv
+  FROM shd WHERE len(shingles) > 0),
+sg AS (
+  SELECT doc_id,
+    list_transform(range(1, 17), j ->
+      list_min(list_transform(hv, h -> (({al})[j] * h + ({bl})[j]) % {_P})))
+      AS sig
+  FROM hvt),
+bk AS (
+  SELECT doc_id, bi AS band,
+         array_to_string(sig[(bi * 4 + 1):(bi * 4 + 4)], ',') AS bkey
+  FROM sg, unnest(range(0, 4)) AS u(bi)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bk a JOIN bk b2
+    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+m AS (
+  SELECT id_a, id_b,
+    len(list_filter(range(1, 17), j -> sa.sig[j] = sb.sig[j]))::BIGINT
+      AS n_match
+  FROM cand JOIN sg sa ON sa.doc_id = id_a JOIN sg sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, n_match, (n_match::DOUBLE / 16) AS est_jaccard FROM m
+"""
+
+
+def q_simhash_md5(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import simhash_md5
+    return simhash_md5(load(spark, sf, "documents"), nbits=28)
+
+
+_SQL_SIMHASH_MD5 = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+hvt AS (
+  SELECT doc_id, list_transform(toks, s -> {_MD5H28.format(s='s')}) AS hv
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+  list_sum(list_transform(range(1, 29), i ->
+    CASE WHEN list_sum(list_transform(hv, h -> ((h >> (i - 1)) & 1) * 2 - 1)) > 0
+         THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS simhash
+FROM hvt
+"""
+
+
 # ================================================================ registry
 
 QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -822,6 +898,8 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "media_base64": q_media_base64,
     "stream_sliding": q_stream_sliding,
+    "minhash_md5": q_minhash_md5,
+    "simhash_md5": q_simhash_md5,
 }
 
 ORACLE_SQL_REF: dict[str, str] = {
@@ -839,4 +917,6 @@ ORACLE_SQL_REF: dict[str, str] = {
     "local_supplier_volume": _SQL_LOCAL_SUPPLIER_VOLUME,
     "media_base64": _SQL_MEDIA_BASE64,
     "stream_sliding": _stream_sliding_sql(),
+    "minhash_md5": _minhash_md5_sql(),
+    "simhash_md5": _SQL_SIMHASH_MD5,
 }
