@@ -42,6 +42,8 @@ HEADLINE = (
     "reverse_links_resolved", "standoff_kfields", "a3_toc",
     "train_split", "context_chunks", "embed_neardup_lsh",
     "lsh_topk", "quantized_topk",
+    # round-3 additions (suite 35 -> 39 incl. the flagship)
+    "minhash_md5", "simhash_md5", "ivf_kmeans_topk", "media_features",
 )
 
 
@@ -152,11 +154,18 @@ def main() -> None:
     n_docs, pipe_sec = min(runs, key=lambda r: r[1])
     timings["quality_pipeline"] = round(pipe_sec, 3)
 
+    # best-of-N per query (N=3): ambient VM noise swings single runs +-30%,
+    # so round-over-round per-query comparisons use the per-query minimum
+    # (VERDICT r2 next-round #9); run count is recorded in the JSON line.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE:
         _count(QUERIES[name](spark, SF_DIR))  # warm: codegen + analyzer JIT
-        t0 = time.perf_counter()
-        _count(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs_per_query):
+            t0 = time.perf_counter()
+            _count(QUERIES[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -167,6 +176,8 @@ def main() -> None:
         "sf": SF_DIR,
         "docs_per_sec_quality_filter": round(n_docs / pipe_sec, 1),
         "cpus": CPUS,
+        "runs_per_query": runs_per_query,
+        "timing": "best_of_runs",
     }))
 
 

@@ -41,44 +41,46 @@ for _li, _lang in enumerate(LANGS):
         _W2L[_w] = _W2L.get(_w, ()) + (_li,)
 
 
-def detect(texts: pd.Series, words: pd.Series | None = None) -> pd.DataFrame:
+def detect(texts: pd.Series, words: pd.Series | None = None,
+           stream=None, chars=None) -> pd.DataFrame:
     """-> DataFrame(lang_detected, lang_hits, n_words) — vectorized kernel.
 
     ``words`` (case-preserving split) lets the fused pipeline share one
     split across kernels: lowercasing per word inside the counting loop is
     provably identical to lower-then-split (whitespace is case-invariant).
+    ``stream`` (wordstream.WordStream over those words) additionally shares
+    the flatten+factorize pass with the quality-rules kernel.
     """
+    from . import wordstream
+
     t = texts.fillna("")
-    if words is None:
-        words = t.str.split()
-    n_words = words.str.len().fillna(0).astype(np.int64)
+    if stream is None:
+        stream = wordstream.build(t.str.split() if words is None else words)
+    n_words = pd.Series(stream.lens, index=t.index)
 
-    # Factorize-then-count: flatten the word stream once, factorize it
-    # (one hash pass), lowercase + profile-match only the UNIQUE words
-    # (~10x fewer than tokens), broadcast the unique-level mask back
-    # through the codes and bincount per language. MEASURED 3x faster
-    # than both the per-word dict loop and the explode+isin variants
-    # (0.67s vs 2.0s vs 3.0s per 20k docs): per-token work collapses to
-    # a C-level gather, and the expensive string ops run per UNIQUE word.
-    import itertools
-
+    # Factorize-then-count (shared stream): lowercase + profile-match only
+    # the UNIQUE words (~10x fewer than tokens), broadcast the unique-level
+    # mask back through the codes and bincount per language. MEASURED 3x
+    # faster than both the per-word dict loop and the explode+isin variants
+    # (per-token work collapses to a C-level gather; the expensive string
+    # ops run per UNIQUE word).
     nl = len(LANGS)
-    if words.isna().any():
-        words = words.map(lambda w: w if isinstance(w, list) else [])
-    flat = np.array(list(itertools.chain.from_iterable(words)), dtype=object)
     hits = np.zeros((len(t), nl), dtype=np.int64)
-    if len(flat):
-        lens = words.str.len().fillna(0).astype(np.int64).to_numpy()
-        pos = np.repeat(np.arange(len(t)), lens)
-        codes, uniq = pd.factorize(flat)
-        ul = pd.Series(uniq).str.lower()
+    if len(stream.uniq):
+        ul = stream.uniq_series.str.lower()
         for li, lang in enumerate(LANGS):
             umask = ul.isin(PROFILES[lang]).to_numpy()
-            hits[:, li] = np.bincount(pos[umask[codes]], minlength=len(t))
+            hits[:, li] = stream.count_where_unique(umask)
     hits_df = pd.DataFrame(hits, columns=LANGS, index=t.index)
 
-    cjk = t.str.count(_CJK_RE).astype(np.int64)
-    nonspace = t.str.count(_NONSPACE_RE).astype(np.int64)
+    # \s and CJK counts in one pass over the concatenated UTF-32 buffer
+    # (exact re semantics per unique codepoint) — the former per-document
+    # str.count(r"\S") scan was the kernel's single largest cost. `chars`
+    # shares that pass with the quality-rules kernel in the fused pipeline.
+    if chars is None:
+        chars = wordstream.char_stats(t)
+    cjk = pd.Series(chars.cjk, index=t.index)
+    nonspace = pd.Series(chars.nonspace, index=t.index)
     is_cjk = cjk * 2 > nonspace
 
     best = hits_df.idxmax(axis=1)            # ties -> first column = ascending code

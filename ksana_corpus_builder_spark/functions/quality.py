@@ -52,34 +52,45 @@ STOPWORDS = (
 )
 
 
-def word_stats(texts: pd.Series, words: pd.Series | None = None) -> pd.DataFrame:
-    """Vectorized per-doc stats. One str.split, then numpy over the lists.
-    ``words`` lets the fused pipeline share a single split across kernels."""
+def word_stats(texts: pd.Series, words: pd.Series | None = None,
+               stream=None, chars=None) -> pd.DataFrame:
+    """Vectorized per-doc stats. ``words`` lets the fused pipeline share a
+    single split across kernels; ``stream`` (a wordstream.WordStream over
+    those words) additionally shares the flatten+factorize pass with the
+    langid kernel, and ``chars`` (wordstream.CharStats) shares the one
+    character-class buffer pass."""
     t = texts.fillna("")
-    if words is None:
-        words = t.str.split()
-    sw = frozenset(STOPWORDS)
-
-    def per_doc(ws: list[str]) -> tuple[int, int, int, int, int]:
-        if not ws:
-            return 0, 0, 0, 0, 0
-        lens = [len(w) for w in ws]
-        return (len(ws), sum(lens), len(set(ws)),
-                sum(1 for w in ws if w in sw), max(lens))
-
-    arr = np.array([per_doc(ws) for ws in words], dtype=np.int64)
-    if len(arr) == 0:
-        arr = arr.reshape(0, 5)
+    if stream is None:
+        from . import wordstream
+        stream = wordstream.build(t.str.split() if words is None else words)
+    # word-level stats over the shared factorized token stream: per-token
+    # work is a C-level gather of the unique-word table, per-doc reductions
+    # are boundary cumsum/bincount — no per-document Python loop. Identical
+    # integers to the former per_doc() fold (golden + oracle gated).
+    tok_lens = stream.uniq_lens[stream.codes] if stream.pos.size \
+        else np.zeros(0, np.int64)
+    sw_mask = (stream.uniq_series.isin(STOPWORDS).to_numpy()
+               if len(stream.uniq) else np.zeros(0, bool))
+    arr = np.column_stack([
+        stream.lens,
+        stream.seg_sum(tok_lens),
+        stream.distinct_per_doc(),
+        stream.count_where_unique(sw_mask),
+        stream.seg_max(tok_lens),
+    ]) if stream.n_docs else np.zeros((0, 5), np.int64)
     lines = t.str.split("\n")
     n_lines = lines.str.len().fillna(0).astype(np.int64)
     # sum of (count-1) over duplicated lines == len - distinct
     n_dup_lines = lines.map(
         lambda ls: (len(ls) - len(set(ls))) if ls else 0).astype(np.int64)
     max_line_len = lines.map(lambda ls: max((len(x) for x in ls), default=0)).astype(np.int64)
-    digit_chars = t.str.count(r"[0-9]").astype(np.int64)
+    if chars is None:
+        from . import wordstream
+        chars = wordstream.char_stats(t)
+    digit_chars = pd.Series(chars.digits, index=t.index)
 
     return pd.DataFrame({
-        "n_chars": t.str.len().astype(np.int64),
+        "n_chars": chars.n_chars,
         "n_words": arr[:, 0],
         "sum_word_len": arr[:, 1],
         "n_distinct_words": arr[:, 2],
@@ -110,9 +121,10 @@ def rule_flags(stats: pd.DataFrame) -> pd.DataFrame:
 
 
 def rules_hit_and_keep(texts: pd.Series,
-                       words: pd.Series | None = None) -> pd.DataFrame:
+                       words: pd.Series | None = None,
+                       stream=None, chars=None) -> pd.DataFrame:
     """text -> (keep: bool, rules_hit: list[str]) — the oracle's label kernel."""
-    flags = rule_flags(word_stats(texts, words))
+    flags = rule_flags(word_stats(texts, words, stream, chars))
     m = flags[RULE_NAMES].to_numpy()  # one bool matrix, no row-wise apply
     names = np.array(RULE_NAMES, dtype=object)
     hits = pd.Series([list(names[row]) for row in m], index=texts.index)

@@ -177,6 +177,50 @@ def ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
+def ivf_centroids_kmeans(embeddings: DataFrame, n_cells: int = 16,
+                         iters: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding"):
+    """Lloyd-refined coarse quantizer (replaces the first-n placeholder for
+    real cell balance). Normalized (n_cells x dim) float64 matrix.
+
+    Every step is deterministic AND cross-engine replayable:
+    - init: the n_cells lowest-id vectors (ivf_centroids);
+    - assignment: argmax over cells of round(cosine, 6), ties -> lowest
+      cell (ivf_assign — the production assignment kernel);
+    - update: the new centroid DIRECTION is the component-wise sum of the
+      members' 6dp-rounded components, accumulated as DECIMAL(27,6) —
+      EXACT, so the result is independent of partitioning/summation order
+      (cosine is scale-invariant, so the direction sum needs no division
+      and no float mean); empty cells keep their previous direction.
+    The per-iteration driver transfer is one n_cells-row collect.
+    """
+    import numpy as np
+
+    Cn = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    dim = Cn.shape[1]
+    for _ in range(max(0, iters)):
+        assigned = ivf_assign(embeddings, n_cells, id_col, vec_col,
+                              centroids=Cn)
+        # component sums via posexplode -> narrow (cell, i) hash agg: the
+        # map-side partial agg reduces to n_cells*dim rows before the
+        # shuffle, and the plan stays small (a 64-wide decimal agg list
+        # recompiles codegen per iteration — measured slower)
+        rows = (assigned
+                .select("cell", F.posexplode(vec_col).alias("i", "x"))
+                .groupBy("cell", "i")
+                .agg(F.sum(F.round(F.col("x").cast("double"), 6)
+                           .cast("decimal(27,6)")).cast("double").alias("v"))
+                .collect())  # collect-ok: n_cells*dim rows (dim-sized)
+        S = Cn.copy()  # empty cells keep their previous direction
+        touched = {r["cell"] for r in rows}
+        for c in touched:
+            S[c] = np.zeros(dim)
+        for r in rows:
+            S[r["cell"]][r["i"]] = r["v"]
+        Cn = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
+    return Cn
+
+
 def ivf_assign(embeddings: DataFrame, n_cells: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
                centroids=None) -> DataFrame:
@@ -211,17 +255,21 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 16,
 
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids=None) -> DataFrame:
     """IVF ANN: score only vectors in the n_probe cells nearest the query.
 
     At 10^12 vectors the assignment is precomputed and the table is
     partitioned by `cell`, so a probe reads n_probe/n_cells of the data
     (partition pruning on the cell column); here assignment runs inline.
     The centroid collect happens ONCE and is shared with ivf_assign.
+    Pass `centroids` (normalized n_cells x dim) to use a refined quantizer
+    (ivf_centroids_kmeans) instead of the first-n coarse one.
     """
     import numpy as np
 
-    Cn = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    Cn = (centroids if centroids is not None
+          else ivf_centroids(embeddings, n_cells, id_col, vec_col))
     assigned = ivf_assign(embeddings, n_cells, id_col, vec_col, centroids=Cn)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)

@@ -94,12 +94,15 @@ def _process_batch(pdf: pd.DataFrame,
     """One Arrow batch through every kernel. Pure pandas — shared verbatim
     with the golden oracle (oracle/golden.py), which is how byte-identity
     and F1=1.0 are achieved by construction and verified by test."""
+    from ..functions import wordstream as W
     text = extract_text(pdf["html"])
     words = text.str.split()  # ONE split shared by rules + langid
-    labels = Q.rules_hit_and_keep(text, words)
+    stream = W.build(words)   # ONE flatten+factorize, shared
+    chars = W.char_stats(text)  # ONE char-class buffer pass, shared
+    labels = Q.rules_hit_and_keep(text, words, stream, chars)
     if hooks is not None:
         labels = hooks.apply_rules(text, labels)
-    lang = L.detect(text, words)
+    lang = L.detect(text, words, stream, chars)
     scrubbed = S.scrub_series(text)
     out = pd.DataFrame({
         "url": pdf["url"],
@@ -160,12 +163,15 @@ def process_text_table(docs: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             if not len(pdf):
                 continue
+            from ..functions import wordstream as W
             text = pdf[text_col].fillna("")
             words = text.str.split()  # ONE split shared by rules + langid
-            lab = Q.rules_hit_and_keep(text, words)
+            stream = W.build(words)   # ONE flatten+factorize, shared
+            chars = W.char_stats(text)  # ONE char-class pass, shared
+            lab = Q.rules_hit_and_keep(text, words, stream, chars)
             if hooks is not None:
                 lab = hooks.apply_rules(text, lab)
-            lang = L.detect(text, words)
+            lang = L.detect(text, words, stream, chars)
             sc = S.scrub_series(text)
             out = pd.DataFrame({
                 "doc_id": pdf[id_col],

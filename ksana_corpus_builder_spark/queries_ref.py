@@ -819,7 +819,12 @@ _DOC_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 def q_minhash_md5(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import minhash_md5_pairs
-    return minhash_md5_pairs(load(spark, sf, "documents"), k=16, bands=4, n=3)
+    # the sf testdata is ONE parquet file => one input split; spread the
+    # signature stage (at scale the scan has thousands of splits and this
+    # repartition disappears)
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    return minhash_md5_pairs(d, k=16, bands=4, n=3)
 
 
 def _minhash_md5_sql() -> str:
@@ -881,6 +886,82 @@ FROM hvt
 """
 
 
+# ---------------------------------------- IVF with k-means-refined cells
+
+
+def q_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF top-k with Lloyd-refined coarse centroids (2 iterations from the
+    first-16 init): assignment by 6dp-rounded cosine argmax, centroid
+    update by EXACT decimal component sums (scale-invariant direction, no
+    division) — so the whole iterative quantizer replays in SQL. Recall vs
+    brute force tightens vs the placeholder quantizer
+    (tests/test_media_ivf.py)."""
+    from .operators import ann
+    e = load(spark, sf, "embeddings")
+    qv = [row[0] for row in
+          e.where(F.col("vec_id") == 0).select(F.explode("embedding"))
+          .collect()]  # collect-ok: one query vector (dim rows)
+    cents = ann.ivf_centroids_kmeans(e, n_cells=16, iters=2)
+    return ann.ivf_topk(e, qv, k=10, n_cells=16, n_probe=8, centroids=cents)
+
+
+def _ivf_kmeans_sql(n_cells: int = 16, iters: int = 2, n_probe: int = 8,
+                    k: int = 10, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as CTE chains: assign (rounded-cosine
+    argmax, tie -> lowest cell) then update (exact DECIMAL component sums,
+    empty cells keep the previous direction), repeated `iters` times, then
+    probe + final top-k — the literal SQL replay of ivf_centroids_kmeans +
+    ivf_topk."""
+    sim = ("round(list_sum(list_transform(range(1, {d1}), "
+           "i -> a.emb[i] * c.cemb[i])) "
+           "/ greatest(sqrt(list_sum(list_transform(a.emb, x -> x * x))) "
+           "* sqrt(list_sum(list_transform(c.cemb, x -> x * x))), 1e-30), 6)"
+           ).format(d1=dim + 1)
+    blocks = [f"""
+e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+c0 AS (SELECT vec_id AS cell, emb AS cemb FROM e WHERE vec_id < {n_cells})"""]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        blocks.append(f"""
+sims{t} AS (SELECT a.vec_id, c.cell, {sim} AS s FROM e a CROSS JOIN {prev} c),
+asg{t} AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+  FROM sims{t}) WHERE rn = 1),
+sum{t} AS (
+  SELECT asg{t}.cell, u.i,
+    CAST(sum(CAST(round(e.emb[u.i], 6) AS DECIMAL(27,6))) AS DOUBLE) AS v
+  FROM e JOIN asg{t} USING (vec_id), unnest(range(1, {dim + 1})) AS u(i)
+  GROUP BY 1, 2),
+c{t} AS (
+  SELECT p.cell, COALESCE(s.cemb, p.cemb) AS cemb
+  FROM {prev} p LEFT JOIN
+    (SELECT cell, list(v ORDER BY i) AS cemb FROM sum{t} GROUP BY cell) s
+    USING (cell))""")
+        prev = f"c{t}"
+    blocks.append(f"""
+simsF AS (SELECT a.vec_id, c.cell, {sim} AS s FROM e a CROSS JOIN {prev} c),
+asgF AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+  FROM simsF) WHERE rn = 1),
+probe AS (SELECT cell FROM (
+  SELECT cell, row_number() OVER (ORDER BY s DESC, cell) AS rn
+  FROM simsF WHERE vec_id = 0) WHERE rn <= {n_probe}),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = 0),
+p AS (SELECT e.vec_id, unnest(e.emb)::DOUBLE AS x, unnest(q.qemb)::DOUBLE AS y
+      FROM e JOIN asgF USING (vec_id), q
+      WHERE asgF.cell IN (SELECT cell FROM probe)),
+s2 AS (SELECT vec_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+           AS cos_sim
+       FROM p GROUP BY vec_id)""")
+    return ("WITH " + ",".join(blocks)
+            + f"\nSELECT vec_id, cos_sim FROM s2 "
+              f"ORDER BY cos_sim DESC, vec_id LIMIT {k}")
+
+
 # ================================================================ registry
 
 QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -900,6 +981,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding": q_stream_sliding,
     "minhash_md5": q_minhash_md5,
     "simhash_md5": q_simhash_md5,
+    "ivf_kmeans_topk": q_ivf_kmeans_topk,
 }
 
 ORACLE_SQL_REF: dict[str, str] = {
@@ -919,4 +1001,5 @@ ORACLE_SQL_REF: dict[str, str] = {
     "stream_sliding": _stream_sliding_sql(),
     "minhash_md5": _minhash_md5_sql(),
     "simhash_md5": _SQL_SIMHASH_MD5,
+    "ivf_kmeans_topk": _ivf_kmeans_sql(),
 }
