@@ -162,11 +162,15 @@ def char_stats(texts: pd.Series) -> CharStats:
     is_cjk = (buf >= 0x4E00) & (buf <= 0x9FFF)
     is_dig = (buf >= 0x30) & (buf <= 0x39)  # ASCII [0-9], regex-identical
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    ends = starts + lens
+    ne = lens > 0
 
     def seg(mask: np.ndarray) -> np.ndarray:
-        cs = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
-        return cs[ends] - cs[starts]
+        # reduceat over NON-EMPTY doc starts with an int64 accumulator:
+        # empty docs occupy no buffer, so each slice is exactly one doc's
+        # chars — and no buffer-sized int64 cumsum array is materialized
+        out = np.zeros(n, np.int64)
+        out[ne] = np.add.reduceat(mask, starts[ne], dtype=np.int64)
+        return out
 
     ws = seg(is_ws)
     return CharStats(lens, lens - ws, seg(is_cjk), seg(is_dig))
