@@ -626,10 +626,22 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash64(load(spark, sf, "documents"))
 
 
-_PAGES_STAGE = "/tmp/ksana_oracle_pages/current.parquet"
+from .sources.pages import STAGE_PATH as _PAGES_STAGE  # noqa: E402
+
 # whitespace tokenization (the fused pipeline shares ONE text.str.split()
 # across kernels), vs the documents-table twins' single-space split
 _WS_TOKS_SQL = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+
+
+def stage_pages(spark: SparkSession, sf: str) -> str:
+    """Write the deterministic synthetic pages table for this sf to the
+    fixed staging path (overwrite) and return the path — the queries over
+    pages read the STAGED parquet so their DuckDB twins see byte-identical
+    input via read_parquet on the same files."""
+    from .sources.pages import pages_df
+    n = 120 if "0.001" in sf else 400
+    pages_df(spark, n).write.mode("overwrite").parquet(_PAGES_STAGE)
+    return _PAGES_STAGE
 
 
 def q_pages_pipeline(spark: SparkSession, sf: str) -> DataFrame:
@@ -643,10 +655,7 @@ def q_pages_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     the kernel, so the oracle reproduces it bit-for-bit).
     """
     from .plans import quality_pipeline as qp
-    from .sources.pages import pages_df
-    n = 120 if "0.001" in sf else 400
-    pages_df(spark, n).write.mode("overwrite").parquet(_PAGES_STAGE)
-    staged = spark.read.parquet(_PAGES_STAGE)
+    staged = spark.read.parquet(stage_pages(spark, sf))
     out = qp.labels(qp.process(staged, buckets=8))
     return out.select(
         "url", "keep",
@@ -791,6 +800,9 @@ ORACLE_SQL: dict[str, str] = {
     "ann_topk": _SQL_ANN_TOPK,
     "lsh_topk": _lsh_topk_sql(),
     "pages_pipeline": _pages_pipeline_sql(),
+    # the streaming execution of the same pipeline over the same staged
+    # input must produce the same rows — identical twin by construction
+    "stream_quality": _pages_pipeline_sql(),
     # minhash_pairs / simhash (xxhash64 sketches — DuckDB has no xxhash64)
     # stay rows-only; their ALGORITHM is value-proven by the md5-hash
     # portable twins (minhash_pairs_md5 / simhash_md5 in queries_ref)
@@ -831,6 +843,7 @@ _DRIVER_WINDOW = [
     "stream_sliding",
     # round-3 additions slot in here (keep the window <= 50 entries)
     "pages_pipeline", "minhash_md5", "simhash_md5", "ivf_kmeans_topk",
+    "repetition_ngrams", "tfidf_topk", "host_stats", "stream_quality",
     # never driver-checked rows-only sketches (weaker rows-count check)
     "minhash_pairs", "simhash",
 ]

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import codec
@@ -962,6 +962,145 @@ s2 AS (SELECT vec_id,
               f"ORDER BY cos_sim DESC, vec_id LIMIT {k}")
 
 
+# ------------------------------------- round-3 web-pipeline coverage adds
+
+
+def q_repetition_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition n-gram signals (the north rule names
+    'repetition n-grams' explicitly): per document, the most-frequent
+    token-bigram count vs total bigrams (cross-multiplied flag, no float
+    threshold) and the duplicate-trigram excess (occurrences - distinct).
+    Explode -> (doc, gram) hash agg: map-side partial combine, the 100 TB
+    shape (one shuffle keyed by (doc_id, gram), skew-free since grams are
+    doc-scoped). Docs with < 3 tokens have no trigram and are excluded."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t = (d.select("doc_id", toks.alias("toks"))
+         .where(F.size("toks") >= 3))
+
+    def grams(n: int, out: str) -> DataFrame:
+        g = F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j)
+                                         for j in range(n)])))
+        per = (t.select("doc_id", g.alias("g"))
+               .groupBy("doc_id", "g").agg(F.count("*").alias("c")))
+        return per.groupBy("doc_id").agg(
+            F.max("c").alias(f"top_{out}_cnt"),
+            F.sum("c").alias(f"n_{out}s"),
+            F.count("*").alias(f"n_distinct_{out}s"))
+
+    bg = grams(2, "bigram")
+    tg = grams(3, "trigram")
+    return (bg.join(tg, "doc_id")
+            .select("doc_id",
+                    F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    F.col("top_bigram_cnt").cast("long")
+                    .alias("top_bigram_cnt"),
+                    (F.col("top_bigram_cnt") * 5 > F.col("n_bigrams"))
+                    .alias("repetitive"),
+                    (F.col("n_trigrams") - F.col("n_distinct_trigrams"))
+                    .cast("long").alias("dup_trigram_excess")))
+
+
+_SQL_REPETITION_NGRAMS = """
+WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+       FROM f, unnest(range(1, len(toks))) AS u(i)),
+b1 AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+b2 AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_cnt,
+              sum(c)::BIGINT AS n_bigrams FROM b1 GROUP BY 1),
+tg AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+       FROM f, unnest(range(1, len(toks) - 1)) AS u(i)),
+t1 AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+t2 AS (SELECT doc_id, (sum(c) - count(*))::BIGINT AS dup_trigram_excess
+       FROM t1 GROUP BY 1)
+SELECT b2.doc_id, n_bigrams, top_bigram_cnt,
+       (top_bigram_cnt * 5 > n_bigrams) AS repetitive, dup_trigram_excess
+FROM b2 JOIN t2 ON b2.doc_id = t2.doc_id
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf from a (doc, token) hash agg,
+    df from a token-level agg over that (two map-side-combining shuffles),
+    N via a broadcast scalar join — the inverted-index weighting a
+    retrieval/training pipeline derives from the same posting stats.
+    Score = round(tf * ln(N/df), 6); ranking on the ROUNDED score with a
+    token tie-break keeps both engines' row_number deterministic."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").cast("double").alias("nd"))
+    s = (tf.join(dfreq, "token").crossJoin(F.broadcast(nd))
+         .select("doc_id", "token", F.col("tf").cast("long").alias("tf"),
+                 F.round(F.col("tf") * F.log(F.col("nd") / F.col("df")), 6)
+                 .alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (s.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).drop("rn"))
+
+
+_SQL_TFIDF_TOPK = """
+WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+s AS (SELECT doc_id, tf.token, tf::BIGINT AS tf,
+             round(tf * ln(nd / df), 6) AS score
+      FROM tf JOIN dfq ON tf.token = dfq.token, nd)
+SELECT doc_id, token, tf, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token) AS rn
+  FROM s) WHERE rn <= 3
+"""
+
+
+def q_stream_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """The flagship quality pipeline EXECUTED BY THE STREAMING ENGINE
+    (file-source readStream over the staged pages -> fused kernel pass ->
+    append sink, Trigger.AvailableNow). Stateless map => streaming output
+    must equal the batch pipeline exactly, so this query shares the
+    pages_pipeline DuckDB twin verbatim (wired in queries.py)."""
+    from .queries import stage_pages
+    from .streaming.quality import stream_quality_query
+    return stream_quality_query(spark, stage_pages(spark, sf))
+
+
+def q_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host rollup over the STAGED Common-Crawl-shaped pages table
+    (url -> host by regex; the input_hint shape): page counts + text
+    volume. The generator gives bighost.example ~50% of urls, so this is
+    the skew-surface query — at scale the groupBy uses the same
+    salted-two-phase plan as salted_source_agg; here the hot key is one
+    group and the plain hash agg (map-side combined) is the right plan."""
+    from .queries import stage_pages
+    staged = spark.read.parquet(stage_pages(spark, sf))
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    return (staged.groupBy(host.alias("host"))
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(F.length("text")).alias("sum_text_chars")))
+
+
+def _host_stats_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       count(*)::BIGINT AS n_pages,
+       sum(length(text))::BIGINT AS sum_text_chars
+FROM read_parquet('{STAGE_PATH}/*.parquet')
+GROUP BY 1
+"""
+
+
 # ================================================================ registry
 
 QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -982,6 +1121,10 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_md5": q_minhash_md5,
     "simhash_md5": q_simhash_md5,
     "ivf_kmeans_topk": q_ivf_kmeans_topk,
+    "repetition_ngrams": q_repetition_ngrams,
+    "tfidf_topk": q_tfidf_topk,
+    "host_stats": q_host_stats,
+    "stream_quality": q_stream_quality,
 }
 
 ORACLE_SQL_REF: dict[str, str] = {
@@ -1002,4 +1145,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "minhash_md5": _minhash_md5_sql(),
     "simhash_md5": _SQL_SIMHASH_MD5,
     "ivf_kmeans_topk": _ivf_kmeans_sql(),
+    "repetition_ngrams": _SQL_REPETITION_NGRAMS,
+    "tfidf_topk": _SQL_TFIDF_TOPK,
+    "host_stats": _host_stats_sql(),
 }

@@ -102,6 +102,10 @@ def make_pages_pdf(n: int, seed: int = 42, start_id: int = 0) -> pd.DataFrame:
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
+# fixed staging path for oracle-twinned queries over pages: Spark writes
+# here (overwrite per run), DuckDB twins read the same files back
+STAGE_PATH = "/tmp/ksana_oracle_pages/current.parquet"
+
 
 def pages_df(spark, n: int, seed: int = 42, slices: int | None = None):
     """Distributed deterministic generation: spark.range -> mapInPandas with
