@@ -665,12 +665,34 @@ def q_pages_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.round("perplexity", 6).alias("perplexity"))
 
 
+def _perplexity_cte(tbl: str, id_col: str) -> str:
+    """SQL subquery computing (id, perplexity rounded to 6dp) over
+    tbl(id, text): the integer-exact char-bigram LM replay (see
+    functions/perplexity.sql_parts) — shared by the pages-pipeline twin
+    and the CCNet-style sharding twin."""
+    from .functions import perplexity as PPX
+    alpha, mat, v = PPX.sql_parts()
+    return f"""
+  SELECT {id_col},
+    CASE WHEN length(text) < 2 THEN 'infinity'::DOUBLE ELSE
+      round(power(10, -(list_sum(list_transform(range(1, len(codes)),
+              i -> ({mat})[codes[i] * {v} + codes[i + 1] + 1]))::DOUBLE
+            / ((len(codes) - 1) * 1000000.0))), 6)
+    END AS perplexity
+  FROM (
+    SELECT {id_col}, text,
+      list_transform(
+        list_transform(string_split(lower(text), ''),
+                       c -> list_position({alpha}, c)),
+        p -> CASE WHEN p IS NULL OR p = 0 THEN {v - 1} ELSE p - 1 END) AS codes
+    FROM {tbl})
+"""
+
+
 def _pages_pipeline_sql() -> str:
     """DuckDB twin of the full pipeline over the staged pages table:
     keep/drop rules + langid (whitespace tokenization, matching the fused
     kernel's shared split) + the integer-exact char-bigram perplexity."""
-    from .functions import perplexity as PPX
-    alpha, mat, v = PPX.sql_parts()
     kd = _keep_drop_sql("pages_in", "url", _WS_TOKS_SQL.format(col="text"))
     lg = _langid_sql("pages_in", "url", _WS_TOKS_SQL.format(col="lower(text)"))
     return f"""
@@ -679,21 +701,7 @@ WITH pages_in AS (
 ),
 kd AS ({kd}),
 lg AS ({lg}),
-px AS (
-  SELECT url,
-    CASE WHEN length(text) < 2 THEN 'infinity'::DOUBLE ELSE
-      round(power(10, -(list_sum(list_transform(range(1, len(codes)),
-              i -> ({mat})[codes[i] * {v} + codes[i + 1] + 1]))::DOUBLE
-            / ((len(codes) - 1) * 1000000.0))), 6)
-    END AS perplexity
-  FROM (
-    SELECT url, text,
-      list_transform(
-        list_transform(string_split(lower(text), ''),
-                       c -> list_position({alpha}, c)),
-        p -> CASE WHEN p IS NULL OR p = 0 THEN {v - 1} ELSE p - 1 END) AS codes
-    FROM pages_in)
-)
+px AS ({_perplexity_cte("pages_in", "url")})
 SELECT kd.url, kd.keep, kd.rules_hit_str, lg.lang_detected,
   round(lg.lang_hits::DOUBLE / greatest(lg.n_words, 1), 6) AS lang_score,
   px.perplexity
@@ -740,6 +748,60 @@ s AS (SELECT vec_id,
 SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
+# -------------------------------------------- CCNet-style shard manifest
+
+def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style corpus sharding (the public CCNet pipeline's layout):
+    every document lands in a (language, perplexity-decile) bucket —
+    langid from the production kernel, deciles = ntile(10) PER LANGUAGE
+    over the 6dp-rounded perplexity with a doc_id tie-break (a
+    deterministic total order, so both engines assign identical tiles).
+    Output is the shard manifest: per-bucket doc + token counts.
+
+    Scale note: an exact per-language ntile is a per-partition sort; at
+    10^12 docs the production variant computes decile BOUNDARIES with
+    approxQuantile per language (a dim-sized result) and assigns by
+    range predicate — same manifest, no global sort. The exact form here
+    is what the cross-engine oracle can pin."""
+    from .functions import perplexity as PPX
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            det = LG.detect(pdf["text"])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "lang_detected": det["lang_detected"],
+                "n_words": det["n_words"],
+                "perplexity": PPX.perplexity_series(pdf["text"].fillna("")),
+            })
+
+    lab = d.mapInPandas(
+        run, schema=("doc_id long, lang_detected string, n_words long, "
+                     "perplexity double"))
+    w = Window.partitionBy("lang_detected").orderBy(
+        F.round("perplexity", 6), "doc_id")
+    return (lab.withColumn("ppl_decile", F.ntile(10).over(w))
+            .groupBy("lang_detected", F.col("ppl_decile").cast("long")
+                     .alias("ppl_decile"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_words").alias("n_words")))
+
+
+def _ccnet_buckets_sql() -> str:
+    return f"""
+WITH lg AS ({_langid_sql()}),
+px AS ({_perplexity_cte("documents", "doc_id")}),
+j AS (SELECT lg.doc_id, lang_detected, n_words, perplexity
+      FROM lg JOIN px ON lg.doc_id = px.doc_id),
+b AS (SELECT *, ntile(10) OVER (PARTITION BY lang_detected
+        ORDER BY round(perplexity, 6), doc_id) AS ppl_decile FROM j)
+SELECT lang_detected, ppl_decile::BIGINT AS ppl_decile,
+       count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_words
+FROM b GROUP BY 1, 2
+"""
+
+
 # ================================================================ registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -764,6 +826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_cust": q_top_orders_per_cust,
     "set_ops": q_set_ops,
     "ann_topk": q_ann_topk,
+    "ccnet_buckets": q_ccnet_buckets,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "pages_pipeline": q_pages_pipeline,
@@ -803,6 +866,7 @@ ORACLE_SQL: dict[str, str] = {
     # the streaming execution of the same pipeline over the same staged
     # input must produce the same rows — identical twin by construction
     "stream_quality": _pages_pipeline_sql(),
+    "ccnet_buckets": _ccnet_buckets_sql(),
     # minhash_pairs / simhash (xxhash64 sketches — DuckDB has no xxhash64)
     # stay rows-only; their ALGORITHM is value-proven by the md5-hash
     # portable twins (minhash_pairs_md5 / simhash_md5 in queries_ref)
@@ -844,6 +908,7 @@ _DRIVER_WINDOW = [
     # round-3 additions slot in here (keep the window <= 50 entries)
     "pages_pipeline", "minhash_md5", "simhash_md5", "ivf_kmeans_topk",
     "repetition_ngrams", "tfidf_topk", "host_stats", "stream_quality",
+    "ccnet_buckets",
     # never driver-checked rows-only sketches (weaker rows-count check)
     "minhash_pairs", "simhash",
 ]
