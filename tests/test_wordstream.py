@@ -62,3 +62,41 @@ def test_count_where_unique_matches_membership():
     mask = st.uniq_series.isin(("the", "dog")).to_numpy()
     got = st.count_where_unique(mask)
     assert list(got) == [3, 2, 0]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    @settings(max_examples=50, deadline=None)
+    @given(hst.lists(hst.text(
+        alphabet=hst.characters(codec="utf-8"), max_size=80), max_size=12))
+    def test_char_stats_property(texts):
+        """For ANY unicode input (including astral-plane codepoints that
+        exercise the LUT clamp), char_stats must equal the per-document
+        regex counts it replaced."""
+        t = pd.Series(texts, dtype=object)
+        cs = W.char_stats(t)
+        assert (cs.nonspace == t.str.count(r"\S").to_numpy()).all()
+        assert (cs.cjk == t.str.count(r"[一-鿿]").to_numpy()).all()
+        assert (cs.digits == t.str.count(r"[0-9]").to_numpy()).all()
+
+    @settings(max_examples=50, deadline=None)
+    @given(hst.lists(hst.lists(hst.text(
+        alphabet=hst.characters(codec="utf-8", exclude_categories=("Z", "C")),
+        min_size=1, max_size=8), max_size=15), max_size=8))
+    def test_word_stream_property(wordlists):
+        """Per-doc (count, sum-len, distinct, max-len) from the factorized
+        stream == the naive per-document fold, for arbitrary token lists."""
+        words = pd.Series(wordlists, dtype=object)
+        st = W.build(words)
+        tok_lens = (st.uniq_lens[st.codes] if st.pos.size
+                    else np.zeros(0, np.int64))
+        for i, ws in enumerate(wordlists):
+            lens = [len(w) for w in ws]
+            assert st.lens[i] == len(ws)
+            assert st.seg_sum(tok_lens)[i] == sum(lens)
+            assert st.distinct_per_doc()[i] == len(set(ws))
+            assert st.seg_max(tok_lens)[i] == max(lens, default=0)
+except ImportError:  # pragma: no cover - hypothesis ships in the container
+    pass
