@@ -27,5 +27,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
+def _ensure_staged_pages() -> None:
+    """The pages-backed oracle twins (pages_pipeline / stream_quality /
+    host_stats) read a staged parquet that their Spark queries write. If a
+    harness evaluates an oracle before its Spark twin in a fresh /tmp,
+    synthesize the same deterministic table with pandas + pyarrow: page
+    content is a pure function of (seed, id), so the Spark overwrite that
+    follows is row-equivalent (the compare sorts rows)."""
+    import os
+
+    from ksana_corpus_builder_spark.sources.pages import (STAGE_PATH,
+                                                          make_pages_pdf)
+    if os.path.isdir(STAGE_PATH) and any(
+            f.endswith(".parquet") for f in os.listdir(STAGE_PATH)):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(STAGE_PATH, exist_ok=True)
+    pdf = make_pages_pdf(400, seed=42)  # the sf0.01 correctness scale
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   os.path.join(STAGE_PATH, "part-00000.parquet"))
+
+
 def oracle_sql() -> dict[str, str]:
+    _ensure_staged_pages()
     return dict(ORACLE_SQL)
