@@ -750,19 +750,9 @@ SELECT vec_id, cos_sim FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
 
 # -------------------------------------------- CCNet-style shard manifest
 
-def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    """CCNet-style corpus sharding (the public CCNet pipeline's layout):
-    every document lands in a (language, perplexity-decile) bucket —
-    langid from the production kernel, deciles = ntile(10) PER LANGUAGE
-    over the 6dp-rounded perplexity with a doc_id tie-break (a
-    deterministic total order, so both engines assign identical tiles).
-    Output is the shard manifest: per-bucket doc + token counts.
-
-    Scale note: an exact per-language ntile is a per-partition sort; at
-    10^12 docs the production variant computes decile BOUNDARIES with
-    approxQuantile per language (a dim-sized result) and assigns by
-    range predicate — same manifest, no global sort. The exact form here
-    is what the cross-engine oracle can pin."""
+def _ccnet_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, lang_detected, n_words, perplexity) via the production
+    kernels — shared by the exact and approx bucket assigners."""
     from .functions import perplexity as PPX
     d = load(spark, sf, "documents").select("doc_id", "text")
 
@@ -776,9 +766,48 @@ def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
                 "perplexity": PPX.perplexity_series(pdf["text"].fillna("")),
             })
 
-    lab = d.mapInPandas(
+    return d.mapInPandas(
         run, schema=("doc_id long, lang_detected string, n_words long, "
                      "perplexity double"))
+
+
+def ccnet_buckets_approx(spark: SparkSession, sf: str,
+                         accuracy: int = 10000) -> DataFrame:
+    """The 10^12-doc path for CCNet sharding: decile BOUNDARIES via
+    percentile_approx per language (one map-side-combining agg producing a
+    dim-sized row per language), broadcast back, and assignment by range
+    predicate — NO per-language sort anywhere. percentile_approx is
+    engine-specific (no DuckDB twin by design); per-doc decile agreement
+    with the exact ntile assigner is asserted in tests.
+    -> (doc_id, lang_detected, ppl_decile)."""
+    lab = _ccnet_labels(spark, sf).withColumn(
+        "p6", F.round("perplexity", 6))
+    bounds = (lab.groupBy("lang_detected")
+              .agg(F.percentile_approx(
+                  "p6", [i / 10 for i in range(1, 10)],
+                  accuracy).alias("bounds")))
+    decile = F.lit(1) + F.aggregate(
+        F.col("bounds"), F.lit(0),
+        lambda acc, b: acc + F.when(F.col("p6") > b, 1).otherwise(0))
+    return (lab.join(F.broadcast(bounds), "lang_detected")
+            .select("doc_id", "lang_detected",
+                    decile.cast("long").alias("ppl_decile")))
+
+
+def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style corpus sharding (the public CCNet pipeline's layout):
+    every document lands in a (language, perplexity-decile) bucket —
+    langid from the production kernel, deciles = ntile(10) PER LANGUAGE
+    over the 6dp-rounded perplexity with a doc_id tie-break (a
+    deterministic total order, so both engines assign identical tiles).
+    Output is the shard manifest: per-bucket doc + token counts.
+
+    Scale note: an exact per-language ntile is a per-partition sort; at
+    10^12 docs the production variant is :func:`ccnet_buckets_approx`
+    (percentile_approx boundaries + range-predicate assignment — same
+    manifest, no sort; agreement asserted in tests). The exact form here
+    is what the cross-engine oracle can pin."""
+    lab = _ccnet_labels(spark, sf)
     w = Window.partitionBy("lang_detected").orderBy(
         F.round("perplexity", 6), "doc_id")
     return (lab.withColumn("ppl_decile", F.ntile(10).over(w))
@@ -908,7 +937,7 @@ _DRIVER_WINDOW = [
     # round-3 additions slot in here (keep the window <= 50 entries)
     "pages_pipeline", "minhash_md5", "simhash_md5", "ivf_kmeans_topk",
     "repetition_ngrams", "tfidf_topk", "host_stats", "stream_quality",
-    "ccnet_buckets",
+    "ccnet_buckets", "text_embed_topk",
     # never driver-checked rows-only sketches (weaker rows-count check)
     "minhash_pairs", "simhash",
 ]

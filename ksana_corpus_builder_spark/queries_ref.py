@@ -1101,6 +1101,68 @@ GROUP BY 1
 """
 
 
+# ---------------------------------- text -> embedding -> ANN, end-to-end
+
+_EMB_DIM = 16
+
+
+def q_text_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The full text->vector->similarity loop with no pre-built embedding
+    table: every document gets a hashing-trick bag-of-words vector
+    (token -> md5-derived bucket in [0,16), counts per bucket — the
+    classic feature-hashing embedding, integer-exact), then brute-force
+    cosine top-10 vs doc 0's vector with the repo's rounded-cosine
+    determinism rules. Buckets are materialized with ONE transform pass
+    (no-CSE discipline), the count vector with one fold; integer counts
+    make the vectors cross-engine exact, so the whole chain — hash,
+    bucket, count, cosine, top-k — replays in SQL."""
+    from .operators.ann import cosine
+    from .operators.dedup import _md5_hash28
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    buckets = F.transform(toks, lambda t: F.pmod(_md5_hash28(t),
+                                                 F.lit(_EMB_DIM)))
+    seq = F.lit(list(range(_EMB_DIM)))
+    vec = F.aggregate(
+        buckets,
+        F.array_repeat(F.lit(0).cast("long"), _EMB_DIM),
+        lambda acc, b: F.zip_with(
+            acc, seq,
+            lambda c, i: c + F.when(b == i, 1).otherwise(0)),
+    )
+    e = (d.select("doc_id", vec.alias("v"))
+         .where(F.size(toks) > 0))
+    q = e.where(F.col("doc_id") == 0).select(F.col("v").alias("qv"))
+    sim = F.round(cosine(F.col("v").cast("array<double>"),
+                         F.col("qv").cast("array<double>")), 6)
+    return (e.crossJoin(F.broadcast(q))
+            .select("doc_id", sim.alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "doc_id").limit(10))
+
+
+def _text_embed_topk_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+bk AS (
+  SELECT doc_id,
+    list_transform(toks, s -> ({_MD5H28.format(s='s')}) % {_EMB_DIM}) AS bks
+  FROM t WHERE len(toks) > 0),
+ev AS (
+  SELECT doc_id,
+    list_transform(range(1, {_EMB_DIM + 1}),
+                   i -> len(list_filter(bks, b -> b = i - 1))::DOUBLE) AS v
+  FROM bk),
+q AS (SELECT v AS qv FROM ev WHERE doc_id = 0),
+p AS (SELECT doc_id, unnest(v)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+      FROM ev, q),
+s AS (SELECT doc_id,
+        round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+          AS cos_sim
+      FROM p GROUP BY doc_id)
+SELECT doc_id, cos_sim FROM s ORDER BY cos_sim DESC, doc_id LIMIT 10
+"""
+
+
 # ================================================================ registry
 
 QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1125,6 +1187,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "host_stats": q_host_stats,
     "stream_quality": q_stream_quality,
+    "text_embed_topk": q_text_embed_topk,
 }
 
 ORACLE_SQL_REF: dict[str, str] = {
@@ -1148,4 +1211,5 @@ ORACLE_SQL_REF: dict[str, str] = {
     "repetition_ngrams": _SQL_REPETITION_NGRAMS,
     "tfidf_topk": _SQL_TFIDF_TOPK,
     "host_stats": _host_stats_sql(),
+    "text_embed_topk": _text_embed_topk_sql(),
 }
