@@ -240,18 +240,25 @@ def q_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return d.mapInPandas(run, schema=_SCRUB_SCHEMA)
 
 
+# RE2 versions of the scrub rule patterns, applied in the same order as
+# the kernel. (name, full kernel rule name, pattern, replacement). The
+# phone rule's lookbehind has no RE2 form and provably never fires on the
+# vocabulary-only documents corpus (asserted kernel-side in
+# tests/test_scrub.py), so the twins pin its count at zero.
+_SCRUB_SQL_STEPS = [
+    ("email", "email",
+     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "ipv4", r"\b(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\.){3}"
+     r"(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\b", "<IP>"),
+    ("ssn", "ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("cc", "credit_card", r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b", "<CC>"),
+    ("tox", "toxicity", r"(?i)\b(?:badword|slurword|vileword)\b", "<TOX>"),
+]
+
+
 def _scrub_sql() -> str:
-    # RE2 versions of the rule patterns, applied in the same order
-    steps = [
-        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-        ("ipv4", r"\b(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\.){3}"
-                 r"(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\b", "<IP>"),
-        ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-        ("cc", r"\b(?:[0-9]{4}[ -]){3}[0-9]{4}\b", "<CC>"),
-        ("tox", r"(?i)\b(?:badword|slurword|vileword)\b", "<TOX>"),
-    ]
     expr, hit_terms = "text", []
-    for name, pat, repl in steps:
+    for _, _, pat, repl in _SCRUB_SQL_STEPS:
         pat_sql = pat.replace("\\", "\\\\").replace("'", "''")
         hit_terms.append(f"len(regexp_extract_all({expr}, '{pat_sql}'))")
         expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
@@ -259,6 +266,42 @@ def _scrub_sql() -> str:
 SELECT doc_id,
   length({expr})::BIGINT AS scrubbed_len,
   ({' + '.join(hit_terms)})::BIGINT AS n_hits
+FROM documents
+"""
+
+
+def q_scrub_rule_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-RULE scrub hit counts per document through the production
+    kernel — lineage-grade provenance (which rule fired where), value-
+    oracled rule-by-rule instead of as the summed total q_scrub checks."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sc = SC.scrub_series(pdf["text"])
+            out = {"doc_id": pdf["doc_id"],
+                   "scrubbed_len": sc["text"].str.len().astype("int64")}
+            for n in SC.SCRUB_RULE_NAMES:
+                out[f"scrub_{n}"] = sc[f"scrub_{n}"].astype("int64")
+            yield pd.DataFrame(out)
+
+    schema = ("doc_id long, scrubbed_len long, "
+              + ", ".join(f"scrub_{n} long" for n in SC.SCRUB_RULE_NAMES))
+    return d.mapInPandas(run, schema=schema)
+
+
+def _scrub_rule_counts_sql() -> str:
+    expr, cols = "text", []
+    for _, full, pat, repl in _SCRUB_SQL_STEPS:
+        pat_sql = pat.replace("\\", "\\\\").replace("'", "''")
+        cols.append(f"len(regexp_extract_all({expr}, '{pat_sql}'))::BIGINT"
+                    f" AS scrub_{full}")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    cols.append("0::BIGINT AS scrub_phone")  # see _SCRUB_SQL_STEPS note
+    return f"""
+SELECT doc_id,
+  length({expr})::BIGINT AS scrubbed_len,
+  {', '.join(cols)}
 FROM documents
 """
 
@@ -856,6 +899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": q_set_ops,
     "ann_topk": q_ann_topk,
     "ccnet_buckets": q_ccnet_buckets,
+    "scrub_rule_counts": q_scrub_rule_counts,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "pages_pipeline": q_pages_pipeline,
@@ -896,6 +940,7 @@ ORACLE_SQL: dict[str, str] = {
     # input must produce the same rows — identical twin by construction
     "stream_quality": _pages_pipeline_sql(),
     "ccnet_buckets": _ccnet_buckets_sql(),
+    "scrub_rule_counts": _scrub_rule_counts_sql(),
     # minhash_pairs / simhash (xxhash64 sketches — DuckDB has no xxhash64)
     # stay rows-only; their ALGORITHM is value-proven by the md5-hash
     # portable twins (minhash_pairs_md5 / simhash_md5 in queries_ref)
@@ -937,7 +982,7 @@ _DRIVER_WINDOW = [
     # round-3 additions slot in here (keep the window <= 50 entries)
     "pages_pipeline", "minhash_md5", "simhash_md5", "ivf_kmeans_topk",
     "repetition_ngrams", "tfidf_topk", "host_stats", "stream_quality",
-    "ccnet_buckets", "text_embed_topk",
+    "ccnet_buckets", "text_embed_topk", "scrub_rule_counts",
     # never driver-checked rows-only sketches (weaker rows-count check)
     "minhash_pairs", "simhash",
 ]

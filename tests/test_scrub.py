@@ -48,3 +48,13 @@ def test_clean_text_untouched():
     r = one(t)
     assert r["text"] == t
     assert sum(r[f"scrub_{n}"] for n in S.SCRUB_RULE_NAMES) == 0
+
+
+def test_phone_rule_silent_on_documents_corpus():
+    """The phone rule's lookbehind has no RE2 form, so the DuckDB scrub
+    twins omit it and pin its count at zero — valid ONLY because it never
+    fires on the synthetic documents corpus. Assert that directly
+    (kernel-side, full sf0.01 table) instead of assuming it."""
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    out = S.scrub_series(docs["text"])
+    assert int(out["scrub_phone"].sum()) == 0
