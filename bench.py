@@ -42,9 +42,10 @@ HEADLINE = (
     "reverse_links_resolved", "standoff_kfields", "a3_toc",
     "train_split", "context_chunks", "embed_neardup_lsh",
     "lsh_topk", "quantized_topk",
-    # round-3 additions (suite 35 -> 42 incl. the flagship)
+    # round-3 additions (suite 35 -> 44 incl. the flagship)
     "minhash_md5", "simhash_md5", "ivf_kmeans_topk", "media_features",
-    "repetition_ngrams", "tfidf_topk", "ccnet_buckets",
+    "repetition_ngrams", "tfidf_topk", "ccnet_buckets", "text_embed_topk",
+    "scrub_rule_counts",
 )
 
 
