@@ -36,15 +36,25 @@ def _ensure_staged_pages() -> None:
     follows is row-equivalent (the compare sorts rows)."""
     import os
 
-    from ksana_corpus_builder_spark.sources.pages import (STAGE_PATH,
-                                                          make_pages_pdf)
-    if os.path.isdir(STAGE_PATH) and any(
-            f.endswith(".parquet") for f in os.listdir(STAGE_PATH)):
-        return
-    import pyarrow as pa
     import pyarrow.parquet as pq
+
+    from ksana_corpus_builder_spark.sources.pages import (STAGE_N,
+                                                          STAGE_PATH,
+                                                          make_pages_pdf)
+    if os.path.isdir(STAGE_PATH):
+        parts = [os.path.join(STAGE_PATH, f) for f in os.listdir(STAGE_PATH)
+                 if f.endswith(".parquet")]
+        if parts:
+            # validate the staged cardinality (footer-only read) — a stale
+            # dir from an older layout is rewritten, not trusted (ADVICE r3)
+            n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+            if n == STAGE_N:
+                return
+            for p in parts:
+                os.remove(p)
+    import pyarrow as pa
     os.makedirs(STAGE_PATH, exist_ok=True)
-    pdf = make_pages_pdf(400, seed=42)  # the sf0.01 correctness scale
+    pdf = make_pages_pdf(STAGE_N, seed=42)
     pq.write_table(pa.Table.from_pandas(pdf),
                    os.path.join(STAGE_PATH, "part-00000.parquet"))
 

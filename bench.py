@@ -46,6 +46,9 @@ HEADLINE = (
     "minhash_md5", "simhash_md5", "ivf_kmeans_topk", "media_features",
     "repetition_ngrams", "tfidf_topk", "ccnet_buckets", "text_embed_topk",
     "scrub_rule_counts",
+    # round-4 additions (suite 44 -> 49 incl. the flagship)
+    "tei_lines", "dedup_components", "media_pixels", "scrub_phone_fixture",
+    "ccnet_buckets_approx",
 )
 
 

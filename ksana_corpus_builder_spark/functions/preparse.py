@@ -45,6 +45,8 @@ _TAG_RE = re.compile(
     r"((?:\s+[\w:.-]+=\"[^\"]*\")*)\s*(/?)>")
 _ATTR_RE = re.compile(r"([\w:.-]+)=\"([^\"]*)\"")
 
+_MAXCHAR = codec.DEFAULT_PATTERN.maxchar
+
 # newline must be its own token (the reference tokenizer emits lone "\n"
 # tokens — emittext compares token text to "\n", parsepre.js:50)
 _PRE_TOKEN_RE = re.compile(
@@ -86,11 +88,21 @@ class _State:
         self.out = PreParsed()
         self.tagstack: list[tuple[str, int]] = []  # (name, kpos_at_open)
 
-    # kPos == LineKStart + LineKCount (index.js:413)
+    # kPos == LineKStart + LineKCount (index.js:413). pack() is linear in
+    # the char component, so the per-line base is computed once per line
+    # and kcount added on top (the property fires on EVERY tag open).
+    _base_key: tuple[int, int, int] | None = None
+    _base: int = 0
+
     @property
     def kpos(self) -> int:
-        b, p, ln = self.line_start
-        return codec.pack(max(b, 1), p, ln, self.kcount)
+        ls = self.line_start
+        if ls != self._base_key:
+            b, p, ln = ls
+            self._base = codec.pack(max(b, 1), p, ln, 0)
+            self._base_key = ls
+        assert self.kcount <= _MAXCHAR
+        return self._base + self.kcount
 
     def put_line(self, line: str) -> None:
         b, p, ln = self.line_start

@@ -33,7 +33,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from .preparse import _ATTR_RE, _PRE_TOKEN_RE, _TAG_RE
+from .preparse import _ATTR_RE, _MAXCHAR, _PRE_TOKEN_RE, _TAG_RE
 from ..tokenizer import SPACE, _GROUP_TYPE
 from .. import codec
 
@@ -65,10 +65,19 @@ class _TeiState:
         self.captured = 0
         self.out = TeiParsed()
 
+    # same per-line base caching as preparse._State.kpos (pack is linear)
+    _base_key: tuple[int, int, int] | None = None
+    _base: int = 0
+
     @property
     def kpos(self) -> int:
-        b, p, ln = self.line_start
-        return codec.pack(max(b, 1), p, ln, self.kcount)
+        ls = self.line_start
+        if ls != self._base_key:
+            b, p, ln = ls
+            self._base = codec.pack(max(b, 1), p, ln, 0)
+            self._base_key = ls
+        assert self.kcount <= _MAXCHAR
+        return self._base + self.kcount
 
     def put_line(self, line: str) -> None:
         b, p, ln = self.line_start

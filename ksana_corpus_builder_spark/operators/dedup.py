@@ -39,8 +39,18 @@ def shingle_array(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """-> (doc_id, shingles array<string>), distinct word n-grams per doc.
     Docs with fewer than n words get an empty array (sequence(0,-1) would
-    yield [0,-1] — Spark sequences auto-descend — hence the guard)."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    yield [0,-1] — Spark sequences auto-descend — hence the guard).
+
+    no-CSE discipline (see CLAUDE.md): the token array is MATERIALIZED in
+    its own projection before the shingle transform. Inline, the
+    split+filter subtree inside the transform lambda re-evaluates once per
+    sequence element (~n_words x per doc — measured 9.2s -> 0.6s for the
+    shingle scan at sf0.1); a separate multi-referenced non-cheap alias is
+    not collapsed by CollapseProject, so it evaluates once per row."""
+    toks_expr = F.filter(F.split(F.col(text_col), " "),
+                         lambda x: x != F.lit(""))
+    base = documents.select(id_col, toks_expr.alias("_toks"))
+    toks = F.col("_toks")
     sh = F.when(
         F.size(toks) >= n,
         F.array_distinct(F.transform(
@@ -48,14 +58,21 @@ def shingle_array(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         )),
     ).otherwise(F.array().cast("array<string>"))
-    return documents.select(id_col, sh.alias("shingles"))
+    return base.select(id_col, sh.alias("shingles"))
 
 
 def shingles(documents: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
-    """word n-gram shingles, distinct per doc -> (doc_id, shingle)."""
+    """word n-gram shingles, distinct per doc -> (doc_id, shingle).
+
+    explode_outer, not explode: InferFiltersFromGenerate turns a plain
+    explode into a pushed-down `size(shingles) > 0` filter that re-inlines
+    the ENTIRE interpreted shingle expression (with the per-element no-CSE
+    blowup) a second time per input row. Outer generate infers no filter;
+    the equivalent null-drop happens on the cheap GENERATED column."""
     return (shingle_array(documents, n, id_col, text_col)
-            .select(id_col, F.explode("shingles").alias("shingle")))
+            .select(id_col, F.explode_outer("shingles").alias("shingle"))
+            .where(F.col("shingle").isNotNull()))
 
 
 def exact_duplicates(documents: DataFrame, id_col: str = "doc_id",
@@ -90,14 +107,21 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     # assumption ever stops holding.
     sh = (shingles(documents, n, id_col, text_col)
           .select(id_col, F.xxhash64("shingle").alias("h")))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # ONE shingle scan: aggregate to per-shingle postings first. Every
+    # downstream input (doc sizes, the df>=2 prefilter, both self-join
+    # sides) derives from the SAME groupBy(h) exchange, which Spark's
+    # ReuseExchange shares — the interpreted shingle expression and the
+    # document scan run once, not four times (was 4 scans = ~2x the whole
+    # operator's cost at sf0.1).
+    post = sh.groupBy("h").agg(F.collect_list(id_col).alias("ids"))
+    sizes = (post.select(F.explode("ids").alias(id_col))
+             .groupBy(id_col).agg(F.count("*").alias("sz")))
     # shingles private to one document cannot co-occur — drop them BEFORE
     # the quadratic self-join (sizes above already counted them, so |A∪B|
     # stays exact). On real webtext most shingles are df=1, so this is the
     # difference between joining the corpus and joining its shared core.
-    shared = (sh.groupBy("h").agg(F.count("*").alias("df"))
-              .where(F.col("df") >= 2).select("h"))
-    shf = sh.join(shared, "h")
+    shf = (post.where(F.size("ids") >= 2)
+           .select("h", F.explode("ids").alias(id_col)))
     a = shf.alias("a")
     b = shf.alias("b")
     co = (

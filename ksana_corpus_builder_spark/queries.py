@@ -677,13 +677,17 @@ _WS_TOKS_SQL = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
 
 
 def stage_pages(spark: SparkSession, sf: str) -> str:
-    """Write the deterministic synthetic pages table for this sf to the
-    fixed staging path (overwrite) and return the path — the queries over
-    pages read the STAGED parquet so their DuckDB twins see byte-identical
-    input via read_parquet on the same files."""
-    from .sources.pages import pages_df
-    n = 120 if "0.001" in sf else 400
-    pages_df(spark, n).write.mode("overwrite").parquet(_PAGES_STAGE)
+    """Write the deterministic synthetic pages table to the fixed staging
+    path (overwrite) and return the path — the queries over pages read the
+    STAGED parquet so their DuckDB twins see byte-identical input via
+    read_parquet on the same files. The staged input is deliberately
+    INDEPENDENT of sf (always STAGE_N rows): the pages corpus is synthetic
+    (not derived from the sf tables), and a single fixed cardinality means
+    an oracle evaluated at any sf — or before its Spark twin, from the
+    pre-seed in __spark_entry__ — always reads the same table (ADVICE r3:
+    the old per-sf n keyed nothing to the staged dir)."""
+    from .sources.pages import STAGE_N, pages_df
+    pages_df(spark, STAGE_N).write.mode("overwrite").parquet(_PAGES_STAGE)
     return _PAGES_STAGE
 
 
@@ -983,8 +987,12 @@ _DRIVER_WINDOW = [
     "pages_pipeline", "minhash_md5", "simhash_md5", "ivf_kmeans_topk",
     "repetition_ngrams", "tfidf_topk", "host_stats", "stream_quality",
     "ccnet_buckets", "text_embed_topk", "scrub_rule_counts",
-    # never driver-checked rows-only sketches (weaker rows-count check)
-    "minhash_pairs", "simhash",
+    # round-4 additions (oracle-backed first)
+    "scrub_phone_fixture", "media_pixels",
+    # rows-only: never driver-checked sketches (weaker rows-count check)
+    # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB
+    # twin by design, agreement pytest-gated; VERDICT r3 #6)
+    "minhash_pairs", "simhash", "ccnet_buckets_approx",
 ]
 
 _front = {k: QUERIES[k] for k in _DRIVER_WINDOW if k in QUERIES}

@@ -643,32 +643,19 @@ HAVING count(*) >= 10
 
 def q_tei_lines(spark: SparkSession, sf: str) -> DataFrame:
     """Documents re-serialized as TEI (one <lb n="1.{i:02d}"/> per text
-    line) and parsed by the reference-faithful TEI kernel. Because line
+    line) and parsed by the reference-faithful TEI semantics. Because line
     indexes come from lb markers (not a newline counter), LEADING blank
     lines survive as gap-filled ' ' — a behavioral contrast to
     preparse_lines, which eats them; trailing blanks are still trimmed.
-    FIDELITY GATE (see contract note above), not a throughput operator."""
-    import pandas as pd
-
-    from .functions.teiparse import parse_tei
+    FIDELITY GATE (see contract note above); plain-text docs take the
+    vectorized batch algebra, markup/CR/blank-line docs fall back to the
+    real parse_tei per doc (equivalence pinned by tests/test_linebatch.py)."""
+    from .functions.linebatch import tei_lines_batch
     d = load(spark, sf, "documents").select("doc_id", "text")
 
     def run(batches):
         for pdf in batches:
-            ids, lns, outs = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
-                parts = text.split("\n")
-                content = "<x>" + "".join(
-                    f'<lb n="1.{i + 1:02d}"/>{p}'
-                    for i, p in enumerate(parts)) + "</x>"
-                parsed = parse_tei(content)
-                if not parsed.texts:
-                    continue
-                for ln, s in enumerate(parsed.texts[0][0]):
-                    ids.append(doc_id)
-                    lns.append(ln)
-                    outs.append(s)
-            yield pd.DataFrame({"doc_id": ids, "line": lns, "text_line": outs})
+            yield tei_lines_batch(pdf["doc_id"], pdf["text"])
 
     return d.mapInPandas(run, schema="doc_id long, line long, text_line string")
 
@@ -863,25 +850,15 @@ def q_preparse_lines(spark: SparkSession, sf: str) -> DataFrame:
     leading blank lines eaten, interior blanks stored as ' ', trailing
     blanks dropped (reference makeLine/putLine/finalizeTexts semantics,
     golden-tested against the reference's own fixture). The oracle
-    replicates exactly that line algebra in SQL."""
-    import pandas as pd
-
-    from .functions.preparse import parse_pre
+    replicates exactly that line algebra in SQL. Plain-text docs take the
+    vectorized batch algebra; markup/CR/blank-line docs fall back to the
+    real parse_pre per doc (equivalence pinned by tests/test_linebatch.py)."""
+    from .functions.linebatch import pre_lines_batch
     d = load(spark, sf, "documents").select("doc_id", "text")
 
     def run(batches):
         for pdf in batches:
-            ids, lines, texts_out = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
-                parsed = parse_pre('<pb n="1"/>\n' + text)
-                if not parsed.texts:
-                    continue
-                for ln, s in enumerate(parsed.texts[0][0]):
-                    ids.append(doc_id)
-                    lines.append(ln)
-                    texts_out.append(s)
-            yield pd.DataFrame({"doc_id": ids, "line": lines,
-                                "text_line": texts_out})
+            yield pre_lines_batch(pdf["doc_id"], pdf["text"])
 
     return d.mapInPandas(run, schema="doc_id long, line long, text_line string")
 
@@ -1162,6 +1139,16 @@ def _media_frames_sql() -> str:
     return MEDIA_FRAMES_SQL
 
 
+def q_media_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.media import media_pixels_query
+    return media_pixels_query(spark, sf)
+
+
+def _media_pixels_sql() -> str:
+    from .operators.media import MEDIA_PIXELS_SQL
+    return MEDIA_PIXELS_SQL
+
+
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary payload -> byte-histogram feature vectors (the image-embedding
     plumbing stand-in), exploded to (doc_id, bin, v) scalar rows. The oracle
@@ -1293,6 +1280,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_tokens": q_normalize_tokens,
     "salted_source_agg": q_salted_source_agg,
     "media_meta": q_media_meta,
+    "media_pixels": q_media_pixels,
     "media_frames": q_media_frames,
     "media_features": q_media_features,
     "ivf_topk": q_ivf_topk,
@@ -1336,6 +1324,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "normalize_tokens": _SQL_NORMALIZE_TOKENS,
     "salted_source_agg": _SQL_SALTED_SOURCE_AGG,
     "media_meta": _media_meta_sql(),
+    "media_pixels": _media_pixels_sql(),
     "media_frames": _media_frames_sql(),
     "media_features": _SQL_MEDIA_FEATURES,
     "char_unigrams": _SQL_CHAR_UNIGRAMS,

@@ -96,6 +96,13 @@ def make_pages_pdf(n: int, seed: int = 42, start_id: int = 0) -> pd.DataFrame:
         rows.append((url, ts, raw, claimed))
     pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "lang"])
     pdf["text"] = extract_text(pdf["html"])
+    # Oracle-parity guard (ADVICE r3): the DuckDB twins tokenize with
+    # RE2 '\s' (ASCII [\t\n\f\r ]) while the kernels use Python '\s'
+    # (full Unicode whitespace). Parity is sound only while generated
+    # text contains no whitespace the two engines disagree on (\x0b,
+    # NBSP, U+3000, ...) — pinned here at the generator, not assumed.
+    bad = pdf["text"].str.contains(r"[^\S \t\n\r\f]", regex=True)
+    assert not bad.any(), "generator emitted non-ASCII whitespace"
     return pdf[["url", "warc_ts", "html", "text", "lang"]]
 
 
@@ -103,8 +110,11 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
 # fixed staging path for oracle-twinned queries over pages: Spark writes
-# here (overwrite per run), DuckDB twins read the same files back
+# here (overwrite per run), DuckDB twins read the same files back. The
+# staged table always has STAGE_N rows regardless of sf (see
+# queries.stage_pages) so any staged dir is valid for any oracle run.
 STAGE_PATH = "/tmp/ksana_oracle_pages/current.parquet"
+STAGE_N = 400
 
 
 def pages_df(spark, n: int, seed: int = 42, slices: int | None = None):

@@ -252,26 +252,85 @@ def test_connected_components_known_graph(spark):
 
 def test_connected_components_one_job_per_round(spark):
     """Convergence detection is a CollectMetrics observation inside the
-    round's localCheckpoint job — exactly ONE Spark job per round, no
-    separate count() (VERDICT r2 next-round #6). The 1-2-3 / 10-11, 20-10
-    graph converges in 3 rounds (round 3 observes zero changes)."""
+    round's localCheckpoint job — no separate per-round count() (VERDICT
+    r2 next-round #6). Rather than hard-coding Spark's internal job
+    accounting (brittle across planner versions — ADVICE r3), measure the
+    per-round job DELTA: a single edge converges in 2 rounds, a 1-2-3
+    chain in 3, so (jobs_chain - jobs_edge) is the cost of exactly one
+    extra round."""
     from ksana_corpus_builder_spark.operators.components import (
         connected_components)
-    edges = spark.createDataFrame(
-        pd.DataFrame({"src": [1, 2, 10, 20], "dst": [2, 3, 11, 10]}))
     sc = spark.sparkContext
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    sc.setJobGroup("cc-jobcount", "count jobs per round")
+
+    def jobs_for(pdf, group):
+        edges = spark.createDataFrame(pdf)
+        sc.setJobGroup(group, group)
+        try:
+            connected_components(edges).count()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
     try:
-        connected_components(edges).count()  # +1 job for the final count
+        two = jobs_for(pd.DataFrame({"src": [1], "dst": [2]}), "cc-2round")
+        three = jobs_for(
+            pd.DataFrame({"src": [1, 2], "dst": [2, 3]}), "cc-3round")
     finally:
-        sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
-    jobs = sc.statusTracker().getJobIdsForGroup("cc-jobcount")
-    # This graph converges in 3 rounds (2 improving + 1 zero-change). Per
-    # round: 1 localCheckpoint job (which evaluates the CollectMetrics
-    # convergence observation) + 2 broadcast-exchange jobs belonging to the
-    # round's two broadcast joins = 3. The OLD per-round count() join added
-    # >=2 more jobs/round, which this bound rejects.
-    assert len(jobs) <= 3 * 3 + 1, f"per-round action leak: {len(jobs)} jobs"
+    # One extra round currently costs 3 jobs (the localCheckpoint that also
+    # evaluates the CollectMetrics observation + 2 broadcast-exchange
+    # submissions). The OLD per-round count() design added >= 2 more; <= 4
+    # tolerates minor Spark job-accounting changes while still rejecting
+    # any reintroduced per-round action.
+    assert three - two <= 4, (two, three)
+
+
+def test_star_components_known_graph(spark):
+    """large-star/small-star engine: same output contract as min-label on
+    the known two-chain + isolated-vertex graph."""
+    from ksana_corpus_builder_spark.operators.components import (
+        connected_components_star)
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 10, 20], "dst": [2, 3, 11, 10]}))
+    verts = spark.createDataFrame(pd.DataFrame({"id": [99]}))
+    got = {r.id: r.component
+           for r in connected_components_star(edges, vertices=verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 10, 99: 99}
+
+
+def test_star_components_match_min_label_random_graph(spark):
+    """Engine equivalence: both fixpoint engines produce identical
+    (id, component) labelings on a random 400-vertex multigraph with
+    self-loops, duplicate and reversed edges."""
+    import random
+
+    from ksana_corpus_builder_spark.operators.components import (
+        connected_components, connected_components_star)
+    rng = random.Random(7)
+    n = 400
+    src = [rng.randrange(n) for _ in range(500)] + [5]
+    dst = [rng.randrange(n) for _ in range(500)] + [5]  # self-loop
+    edges = spark.createDataFrame(pd.DataFrame({"src": src, "dst": dst}))
+    a = {r.id: r.component for r in connected_components(edges).collect()}
+    b = {r.id: r.component
+         for r in connected_components_star(edges).collect()}
+    assert a == b
+
+
+def test_star_components_chain_logarithmic_rounds(spark):
+    """VERDICT r3 next-round #3: a 10k-vertex duplicate CHAIN (adversarial
+    diameter for boilerplate near-dups) must converge in O(log n) rounds —
+    ~15 observed, <= 30 pinned (min-label would need 10k rounds). Labels
+    spot-checked: every vertex lands on component 0."""
+    from ksana_corpus_builder_spark.operators.components import (
+        connected_components_star)
+    n = 10_000
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": range(n - 1), "dst": range(1, n)}))
+    stats: dict = {}
+    out = connected_components_star(edges, stats=stats)
+    assert stats["rounds"] <= 30, stats
+    comps = out.select("component").distinct().collect()
+    assert [r.component for r in comps] == [0]

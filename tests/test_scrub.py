@@ -58,3 +58,26 @@ def test_phone_rule_silent_on_documents_corpus():
     docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
     out = S.scrub_series(docs["text"])
     assert int(out["scrub_phone"].sum()) == 0
+
+
+def test_phone_fixture_golden():
+    """VERDICT r3 next-round #5: the phone rule proven NON-trivially —
+    pandas-golden parity on count AND scrubbed text over a fixture where
+    it fires, including the two context suppressions (negative lookbehind
+    before, digit lookahead after) that no RE2 twin can express. The same
+    pieces back the oracle-backed `scrub_phone_fixture` driver query."""
+    cases = [
+        ("call (415) 555-0199 now", "call <PHONE> now", 1),
+        ("dial +1 415-555-2671 ok", "dial <PHONE> ok", 1),
+        ("id 9415 555 0132 raw", "id 9415 555 0132 raw", 0),   # lookbehind
+        ("fax 415.555.0142 end", "fax <PHONE> end", 1),
+        ("num 415.555.01321 long", "num 415.555.01321 long", 0),  # lookahead
+    ]
+    out = S.scrub_series(pd.Series([c[0] for c in cases]))
+    for i, (_, want_text, want_n) in enumerate(cases):
+        assert out["text"].iloc[i] == want_text
+        assert out["scrub_phone"].iloc[i] == want_n
+    # rule-orthogonality: no OTHER rule fires on the fixture pieces
+    others = sum(int(out[f"scrub_{n}"].sum())
+                 for n in S.SCRUB_RULE_NAMES if n != "phone")
+    assert others == 0
