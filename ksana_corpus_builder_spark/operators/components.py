@@ -16,9 +16,11 @@ contract — component = min vertex id in the connected component:
   minimum. Each phase is one shuffle-on-key aggregation plus a key join;
   converges in O(log n) rounds regardless of diameter (a 10k-vertex
   CHAIN converges in ~15 rounds — pytest-pinned ≤ 30), which is the
-  10^12-edge production path. Fixpoint is detected exactly: the edge set
-  is a star forest iff no vertex appears on both the child and the
-  parent side, a cheap distinct-key semi-join probe per round.
+  10^12-edge production path. Fixpoint is detected exactly — the edge
+  set is a star forest iff no vertex appears on both the child and the
+  parent side — with a probe-FIRST loop (an already-converged input runs
+  zero rounds) costing one tag-union aggregation, not a two-distinct
+  intersect join.
 
 Both engines truncate per-round lineage with localCheckpoint so the plan
 stays bounded. The DuckDB twin computes the same fixpoint as a
@@ -40,14 +42,18 @@ def connected_components(edges: DataFrame, src: str = "src",
     component = min vertex id in the connected component. Vertices not in
     `vertices` but present in edges are included; isolated vertices keep
     their own id as the component."""
-    ends = (edges.select(F.col(src).alias("id"))
-            .unionByName(edges.select(F.col(dst).alias("id"))))
+    # ONE scan of the (possibly expensive — e.g. a Jaccard self-join) edge
+    # input: the symmetrized edge list is checkpointed up front and reused
+    # by EVERY round and by the vertex set; without this the edge query
+    # recomputes once per round plus once for the labels init.
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .localCheckpoint())
+    ends = sym.select(F.col("a").alias("id"))
     v = ends if vertices is None else ends.unionByName(
         vertices.select(F.col(vertices.columns[0]).alias("id")))
     labels = v.distinct().withColumn("label", F.col("id"))
-    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .unionByName(edges.select(F.col(dst).alias("a"),
-                                     F.col(src).alias("b"))))
 
     from pyspark.sql import Observation
 
@@ -84,20 +90,26 @@ def connected_components_star(edges: DataFrame, src: str = "src",
     as ``connected_components`` ((id, component), component = min id),
     O(log n) rounds on any topology. ``stats``, when given, receives
     ``{"rounds": k}`` for convergence tests."""
-    ends = (edges.select(F.col(src).alias("id"))
-            .unionByName(edges.select(F.col(dst).alias("id"))))
+    # canonical child->parent orientation (a = max endpoint, b = min),
+    # ONE scan of the (possibly expensive) edge input: self-loops survive
+    # the checkpoint so the vertex set derives from it too, then drop out
+    # of the star rounds.
+    e0 = (edges.select(F.greatest(F.col(src), F.col(dst)).alias("a"),
+                       F.least(F.col(src), F.col(dst)).alias("b"))
+          .distinct().localCheckpoint())
+    ends = (e0.select(F.col("a").alias("id"))
+            .unionByName(e0.select(F.col("b").alias("id"))))
     all_v = ends if vertices is None else ends.unionByName(
         vertices.select(F.col(vertices.columns[0]).alias("id")))
-    all_v = all_v.distinct().localCheckpoint()
-
-    # canonical child->parent orientation: a = max endpoint, b = min
-    e = (edges.select(F.greatest(F.col(src), F.col(dst)).alias("a"),
-                      F.least(F.col(src), F.col(dst)).alias("b"))
-         .where(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    all_v = all_v.distinct()  # consumed once (final left join) — stay lazy
+    e = e0.where(F.col("a") != F.col("b"))
 
     rounds = 0
-    for _ in range(max_iter):
+    while not _is_star_forest(e):
         rounds += 1
+        if rounds > max_iter:
+            raise RuntimeError(
+                f"star components did not converge in {max_iter} rounds")
         # large-star: every neighbor v > u re-points at m = min(N(u)∪{u})
         sym = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
                .unionByName(
@@ -116,15 +128,6 @@ def connected_components_star(edges: DataFrame, src: str = "src",
                  .unionByName(  # m = min(b) < a always
                      mn.select("a", F.col("m").alias("b"))))
         e = small.distinct().localCheckpoint()
-        # exact fixpoint probe: a star forest has no vertex that is both a
-        # child (a side) and a parent (b side) — one semi-join on distinct
-        # keys, O(|V|) rows
-        if (e.select("a").intersect(e.select(F.col("b").alias("a")))
-                .isEmpty()):
-            break
-    else:
-        raise RuntimeError(
-            f"star components did not converge in {max_iter} rounds")
     if stats is not None:
         stats["rounds"] = rounds
 
@@ -134,3 +137,18 @@ def connected_components_star(edges: DataFrame, src: str = "src",
               .distinct())
     return (all_v.join(labels, "id", "left")
             .select("id", F.coalesce("component", "id").alias("component")))
+
+
+def _is_star_forest(e: DataFrame) -> bool:
+    """Exact fixpoint probe: with edges oriented child(a) -> parent(b), the
+    set is a star forest iff no vertex appears on BOTH sides. ONE tag-union
+    aggregation (groupBy vertex, max of side flags) instead of a
+    two-distinct intersect join; duplicates don't affect the flags, so the
+    probe runs on the raw edge stream."""
+    tag = (e.select(F.col("a").alias("v"), F.lit(1).alias("c"),
+                    F.lit(0).alias("p"))
+           .unionByName(e.select(F.col("b").alias("v"), F.lit(0).alias("c"),
+                                 F.lit(1).alias("p"))))
+    both = (tag.groupBy("v").agg(F.max("c").alias("c"), F.max("p").alias("p"))
+            .where((F.col("c") == 1) & (F.col("p") == 1)))
+    return both.isEmpty()

@@ -107,13 +107,19 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     # assumption ever stops holding.
     sh = (shingles(documents, n, id_col, text_col)
           .select(id_col, F.xxhash64("shingle").alias("h")))
-    # ONE shingle scan: aggregate to per-shingle postings first. Every
-    # downstream input (doc sizes, the df>=2 prefilter, both self-join
-    # sides) derives from the SAME groupBy(h) exchange, which Spark's
-    # ReuseExchange shares — the interpreted shingle expression and the
-    # document scan run once, not four times (was 4 scans = ~2x the whole
-    # operator's cost at sf0.1).
-    post = sh.groupBy("h").agg(F.collect_list(id_col).alias("ids"))
+    # ONE shingle scan: aggregate to per-shingle postings and MATERIALIZE
+    # them (bounded single-slot persist, same pattern as the minhash
+    # signature table). Catalyst's ReuseExchange does NOT cover the three
+    # consumers (doc sizes, df>=2 prefilter, both self-join sides) —
+    # column pruning specializes each branch's scan, so without the
+    # persist the document scan + interpreted shingle expression ran 4x
+    # (measured: 4 parquet scans, ~2x the operator's cost at sf0.1). At
+    # 100 TB the postings table ((h, ids), ~16 bytes + 8/posting) is the
+    # natural stage boundary: far smaller than the corpus, and rereading
+    # beats recomputing shingles.
+    post = _persist_bounded(
+        "jaccard_post",
+        sh.groupBy("h").agg(F.collect_list(id_col).alias("ids")))
     sizes = (post.select(F.explode("ids").alias(id_col))
              .groupBy(id_col).agg(F.count("*").alias("sz")))
     # shingles private to one document cannot co-occur — drop them BEFORE
