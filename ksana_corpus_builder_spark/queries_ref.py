@@ -1236,6 +1236,133 @@ def q_ccnet_buckets_approx(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs")))
 
 
+# --------------------------- CCNet line-level dedup over the pages table
+
+_LINE_DF = 3  # lines occurring >= this many times corpus-wide are boilerplate
+
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LINE-level deduplication over the staged Common-Crawl-
+    shaped pages table: any line whose corpus-wide occurrence count is
+    >= 3 is boilerplate (the generator's '&done' trailer appears on every
+    page) and is dropped; the page text is re-assembled from the kept
+    lines in order. Output per page: line counts + the deduplicated text,
+    so hash parity proves the drop decisions AND the byte-exact re-join.
+
+    100 TB shape: posexplode -> one corpus-wide line-count aggregation
+    (algebraic, map-side combined; the hot '&done' key partial-aggregates
+    per partition before the shuffle) -> the boilerplate SET (tiny: lines
+    above the frequency floor) broadcasts back against the line stream —
+    no corpus-sized shuffle for the tag join — then one per-page
+    re-aggregation. collect_list is bounded by a single page's line count."""
+    from .queries import stage_pages
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
+    lines = p.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line"))
+    boiler = (lines.groupBy("line").agg(F.count("*").alias("df"))
+              .where(F.col("df") >= _LINE_DF)
+              .select("line", F.lit(True).alias("is_boiler")))
+    tagged = lines.join(F.broadcast(boiler), "line", "left")
+    kept_struct = F.when(F.col("is_boiler").isNull(),
+                         F.struct("pos", "line"))
+    return (tagged.groupBy("url").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .alias("n_dropped"),
+        F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(kept_struct)),  # nulls skipped
+            lambda s: s["line"])).alias("text_kept")))
+
+
+def _line_dedup_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH s AS (SELECT url, string_split(text, chr(10)) AS ls
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+l AS (SELECT url, i AS pos, ls[i] AS line
+      FROM s, unnest(range(1, len(ls) + 1)) AS u(i)),
+b AS (SELECT line FROM l GROUP BY line HAVING count(*) >= {_LINE_DF}),
+t AS (SELECT l.url, l.pos, l.line, b.line IS NOT NULL AS dr
+      FROM l LEFT JOIN b USING (line))
+SELECT url, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN dr THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       coalesce(string_agg(CASE WHEN NOT dr THEN line END, chr(10)
+                           ORDER BY pos), '') AS text_kept
+FROM t GROUP BY url
+"""
+
+
+# ------------------------- benchmark decontamination (n-gram overlap)
+
+_DECON_NGRAM = 3   # gram width (13 in GPT-3's filter; 3 at toy vocab scale)
+_DECON_PROMPT = 8  # benchmark prompt = first N tokens of the sampled doc
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag every document sharing at least one
+    token {_DECON_NGRAM}-gram with a benchmark set (the GPT-3/Llama
+    n-gram-overlap filter). The benchmark is synthesized deterministically
+    — docs with doc_id % 17 == 3 contribute their first 8 tokens as a
+    'benchmark prompt' — so the sampled docs flag themselves (they ARE in
+    the corpus; that's the filter's point) and vocabulary overlap flags a
+    nontrivial set of others. Output: every doc with its count of DISTINCT
+    overlapping grams + the boolean flag.
+
+    100 TB shape: the benchmark gram set is small by construction ->
+    broadcast semi-ish join against the exploded per-doc distinct grams
+    (no corpus shuffle), then one doc-keyed count agg. Per-doc grams are
+    array_distinct'ed BEFORE the explode, so 'distinct overlapping grams'
+    needs no countDistinct."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", toks.alias("toks"))
+
+    def gram_arr(tcol):
+        return F.when(
+            F.size(tcol) >= _DECON_NGRAM,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size(tcol) - (_DECON_NGRAM - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tcol, i + j)
+                           for j in range(_DECON_NGRAM)]),
+            ))).otherwise(F.array().cast("array<string>"))
+
+    doc_grams = (base.select("doc_id", gram_arr(F.col("toks")).alias("gs"))
+                 .select("doc_id", F.explode("gs").alias("g")))
+    bench_grams = (base.where(F.col("doc_id") % 17 == 3)
+                   .select(gram_arr(F.slice("toks", 1, _DECON_PROMPT))
+                           .alias("gs"))
+                   .select(F.explode("gs").alias("g")).distinct())
+    hits = (doc_grams.join(F.broadcast(bench_grams), "g")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hit_grams")))
+    n_hits = F.coalesce("n_hit_grams", F.lit(0)).cast("long")
+    return (d.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id", n_hits.alias("n_hit_grams"),
+                    (n_hits > 0).alias("contaminated")))
+
+
+_SQL_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+{_DECON_NGRAM - 1}],
+                                               ' ') AS g
+       FROM t, unnest(range(1, len(toks) - {_DECON_NGRAM - 2})) AS u(i)
+       WHERE len(toks) >= {_DECON_NGRAM}),
+bp AS (SELECT doc_id, toks[1:{_DECON_PROMPT}] AS toks FROM t
+       WHERE doc_id % 17 = 3),
+bg AS (SELECT DISTINCT array_to_string(toks[i:i+{_DECON_NGRAM - 1}],
+                                       ' ') AS g
+       FROM bp, unnest(range(1, len(toks) - {_DECON_NGRAM - 2})) AS u(i)
+       WHERE len(toks) >= {_DECON_NGRAM}),
+h AS (SELECT doc_id, count(*)::BIGINT AS n_hit_grams
+      FROM dg JOIN bg USING (g) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(h.n_hit_grams, 0)::BIGINT AS n_hit_grams,
+       coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+"""
+
+
 # ================================================================ registry
 
 QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1262,6 +1389,8 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_quality": q_stream_quality,
     "text_embed_topk": q_text_embed_topk,
     "scrub_phone_fixture": q_scrub_phone_fixture,
+    "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -1288,6 +1417,8 @@ ORACLE_SQL_REF: dict[str, str] = {
     "host_stats": _host_stats_sql(),
     "text_embed_topk": _text_embed_topk_sql(),
     "scrub_phone_fixture": _SQL_SCRUB_PHONE_FIXTURE,
+    "line_dedup": _line_dedup_sql(),
+    "decontaminate": _SQL_DECONTAMINATE,
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }
