@@ -1292,6 +1292,167 @@ FROM t GROUP BY url
 """
 
 
+# ----------------------------- URL canonicalization + first-crawl-wins
+
+def _url_canon(col):
+    """https://WWW.Host/path?q#f -> https://host/path: host lowercased,
+    www. stripped, query/fragment stripped, trailing slash stripped. Host
+    case-folds; the path is case-SENSITIVE (real-web semantics)."""
+    host = F.lower(F.regexp_extract(col, r"^https://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_extract(col, r"^https://[^/?#]+([^?#]*)", 1)
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(F.lit("https://"), host, rest)
+
+
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-level dedup, the step BEFORE content dedup in a web pipeline:
+    canonicalize crawl urls and keep the earliest crawl per canonical url
+    (first-crawl-wins, ties broken by raw url). The staged pages table has
+    unique urls by construction, so a deterministic crawl log is
+    synthesized per page from md5(url): every page contributes its raw
+    crawl, pages with m%2==0 add a 'https://www.' + '?utm_source=feed'
+    re-crawl one hour later, pages with m%3==0 add an UPPERCASED-host +
+    trailing-slash crawl 30 minutes EARLIER (so canonicalization must win
+    over the raw crawl). Output: one row per canonical url with its crawl
+    count and the kept (url, ts).
+
+    100 TB shape: variant synthesis is per-row; the dedup is ONE
+    row_number window keyed by the canonical url (equivalently min_by) —
+    a single shuffle on the dedup key, the same plan a real crawl-log
+    dedup runs."""
+    from .queries import stage_pages
+    p = (spark.read.parquet(stage_pages(spark, sf))
+         .select("url", F.col("warc_ts").cast("timestamp").alias("ts")))
+    m = F.conv(F.substring(F.md5("url"), 1, 7), 16, 10).cast("long")
+    host = F.regexp_extract("url", r"^https://([^/]+)", 1)
+    path = F.regexp_extract("url", r"^https://[^/]+(.*)$", 1)
+    v0 = F.struct(F.col("url").alias("u"), F.col("ts").alias("t"))
+    v1 = F.when(m % 2 == 0, F.struct(
+        F.concat(F.lit("https://www."), host, path,
+                 F.lit("?utm_source=feed")).alias("u"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t")))
+    v2 = F.when(m % 3 == 0, F.struct(
+        F.concat(F.lit("https://"), F.upper(host), path,
+                 F.lit("/")).alias("u"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTE")).alias("t")))
+    crawls = (p.select(F.explode(F.filter(
+        F.array(v0, v1, v2), lambda x: x.isNotNull())).alias("c"))
+        .select(F.col("c.u").alias("url"), F.col("c.t").alias("ts")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("url_canon").orderBy("ts", "url")
+    ranked = (crawls.withColumn("url_canon", _url_canon(F.col("url")))
+              .withColumn("rn", F.row_number().over(w)))
+    return (ranked.groupBy("url_canon")
+            .agg(F.count("*").alias("n_crawls"),
+                 F.min(F.when(F.col("rn") == 1, F.col("url")))
+                 .alias("kept_url"),
+                 F.min(F.when(F.col("rn") == 1, F.col("ts")))
+                 .alias("kept_ts")))
+
+
+def _url_dedup_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH p AS (SELECT url, warc_ts::TIMESTAMP AS ts,
+             ('0x' || substr(md5(url), 1, 7))::BIGINT AS m,
+             regexp_extract(url, '^https://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https://[^/]+(.*)$', 1) AS path
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+crawls AS (
+  SELECT url, ts FROM p
+  UNION ALL
+  SELECT 'https://www.' || host || path || '?utm_source=feed',
+         ts + INTERVAL 1 HOUR FROM p WHERE m % 2 = 0
+  UNION ALL
+  SELECT 'https://' || upper(host) || path || '/',
+         ts - INTERVAL 30 MINUTE FROM p WHERE m % 3 = 0),
+c AS (SELECT url, ts,
+        'https://' ||
+        regexp_replace(lower(regexp_extract(url, '^https://([^/?#]+)', 1)),
+                       '^www\\.', '') ||
+        regexp_replace(regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1),
+                       '/$', '') AS url_canon,
+        row_number() OVER (PARTITION BY
+          'https://' ||
+          regexp_replace(lower(regexp_extract(url, '^https://([^/?#]+)', 1)),
+                         '^www\\.', '') ||
+          regexp_replace(regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1),
+                         '/$', '')
+          ORDER BY ts, url) AS rn
+      FROM crawls)
+SELECT url_canon, count(*)::BIGINT AS n_crawls,
+       min(CASE WHEN rn = 1 THEN url END) AS kept_url,
+       min(CASE WHEN rn = 1 THEN ts END) AS kept_ts
+FROM c GROUP BY url_canon
+"""
+
+
+# ------------------- exact-substring duplicate spans (Lee et al. style)
+
+_SPAN_W = 8  # window width in tokens
+_SPAN_S = 4  # stride
+
+
+def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication signal (the Lee et al. 'Deduplicating
+    Training Data' shape, token-windowed): slide an {_SPAN_W}-token window
+    with stride {_SPAN_S} over each page, count for each window text the
+    number of DISTINCT pages containing it, and report per page how many
+    of its windows also occur in another page (plus the cross-multiplied
+    >=10% flag). Catches copied spans inside otherwise-distinct documents
+    — the case document-level minhash misses.
+
+    100 TB shape: windows explode to (window_text, page) rows; the df
+    count is one groupBy (map-side combined; windows are near-unique so
+    no hot keys); the per-page rollup joins window df back on the window
+    hash — at scale both sides key on an 8-byte xxhash64 of the window,
+    exactly like the Jaccard join. Windows are generated with ONE
+    transform over the materialized token array (no-CSE discipline)."""
+    from .queries import stage_pages
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
+    toks = F.filter(F.split(F.regexp_replace("text", r"\s+", " "), " "),
+                    lambda x: x != F.lit(""))
+    base = (p.select("url", toks.alias("toks"))
+            .where(F.size("toks") >= _SPAN_W))
+    n_win = ((F.size("toks") - _SPAN_W) / _SPAN_S + 1).cast("int")
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.concat_ws(" ", F.slice("toks", i * _SPAN_S + 1, _SPAN_W)))
+    pw = (base.select("url", F.explode(wins).alias("w")).distinct())
+    docfreq = (pw.groupBy("w").agg(F.count("*").alias("df")))
+    return (pw.join(docfreq, "w")
+            .groupBy("url")
+            .agg(F.count("*").alias("n_windows"),
+                 F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                 .cast("long").alias("n_dup_windows"))
+            .select("url", "n_windows", "n_dup_windows",
+                    (F.col("n_dup_windows") * 10 >= F.col("n_windows"))
+                    .alias("heavy_dup")))
+
+
+def _dup_spans_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH t AS (SELECT url,
+             list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'),
+                                      ' '), x -> x <> '') AS toks
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+b AS (SELECT url, toks FROM t WHERE len(toks) >= {_SPAN_W}),
+pw AS (SELECT DISTINCT url,
+         array_to_string(toks[(i * {_SPAN_S} + 1):(i * {_SPAN_S} + {_SPAN_W})],
+                         ' ') AS w
+       FROM b, unnest(range(0, ((len(toks) - {_SPAN_W}) // {_SPAN_S}) + 1))
+            AS u(i)),
+df AS (SELECT w, count(*) AS df FROM pw GROUP BY w)
+SELECT url, count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+       (sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 10
+        >= count(*)) AS heavy_dup
+FROM pw JOIN df USING (w) GROUP BY url
+"""
+
+
 # ------------------------- benchmark decontamination (n-gram overlap)
 
 _DECON_NGRAM = 3   # gram width (13 in GPT-3's filter; 3 at toy vocab scale)
@@ -1391,6 +1552,8 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_phone_fixture": q_scrub_phone_fixture,
     "line_dedup": q_line_dedup,
     "decontaminate": q_decontaminate,
+    "url_dedup": q_url_dedup,
+    "dup_spans": q_dup_spans,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -1419,6 +1582,8 @@ ORACLE_SQL_REF: dict[str, str] = {
     "scrub_phone_fixture": _SQL_SCRUB_PHONE_FIXTURE,
     "line_dedup": _line_dedup_sql(),
     "decontaminate": _SQL_DECONTAMINATE,
+    "url_dedup": _url_dedup_sql(),
+    "dup_spans": _dup_spans_sql(),
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }

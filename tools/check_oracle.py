@@ -46,9 +46,11 @@ def main() -> int:
     import __spark_entry__ as entrymod
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         try:
             got = fn(spark, sf).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -88,7 +90,8 @@ def main() -> int:
                 i = bad.idxmax()
                 print("  spark :", g.loc[i].to_dict())
                 print("  duckdb:", x.loc[i].to_dict())
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    print(f"\n{n_checked - len(failures)}/{n_checked} passed"
+          + ("" if not only else f" (subset of {len(qs)})"))
     return 1 if failures else 0
 
 
