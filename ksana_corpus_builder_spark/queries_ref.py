@@ -1524,6 +1524,150 @@ FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
 """
 
 
+# --------------- DSIR-style hashed importance weights (Xie et al. 2023)
+
+_DSIR_B = 256        # hashed feature buckets
+_DSIR_Q = 1_000_000  # likelihood-ratio quantization denominator
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Data Selection via Importance Resampling, integer-exact variant:
+    rank documents by how target-like their hashed unigram distribution
+    is. Tokens hash into {_DSIR_B} buckets (md5-derived, portable); the
+    TARGET distribution comes from the same deterministic benchmark
+    prompts as `decontaminate` (doc_id % 17 == 3, first 8 tokens); each
+    bucket gets a QUANTIZED likelihood ratio
+    floor((target_count+1) * 1e6 / (raw_count+1)) — add-one smoothing as
+    in the paper, but integer division instead of log-space floats so
+    both engines agree bit-for-bit. A document's score is the sum of its
+    tokens' bucket ratios (token multiplicity counts, as in DSIR); the
+    top 20% by (score desc, doc_id) are selected.
+
+    100 TB shape: the ratio table is {_DSIR_B} rows -> broadcast to the
+    token stream; per-doc sum is one map-side-combined agg. The exact
+    global top-20% rank here is oracle-pinnable; at scale the cutoff
+    comes from percentile_approx on the score (the ccnet_buckets_approx
+    pattern) and selection becomes a pure predicate."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", toks.alias("toks"))
+    bucket = lambda c: F.conv(F.substring(F.md5(c), 1, 7), 16, 10) % _DSIR_B
+    tok = (base.select("doc_id", F.explode("toks").alias("t"))
+           .select("doc_id", bucket(F.col("t")).cast("long").alias("b")))
+    raw = tok.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (base.where(F.col("doc_id") % 17 == 3)
+           .select(F.explode(F.slice("toks", 1, _DECON_PROMPT)).alias("t"))
+           .select(bucket(F.col("t")).cast("long").alias("b"))
+           .groupBy("b").agg(F.count("*").alias("ct")))
+    ratio = (raw.join(tgt, "b", "left")
+             .select("b", _idiv((F.coalesce("ct", F.lit(0)) + 1) * _DSIR_Q,
+                                F.col("cr") + 1).alias("rq")))
+    scores = (tok.join(F.broadcast(ratio), "b")
+              .groupBy("doc_id").agg(F.sum("rq").alias("dsir_score")))
+    n_sel = _idiv(F.count("*").over(Window.partitionBy()), F.lit(5))
+    rn = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("dsir_score"), "doc_id"))
+    return (d.select("doc_id").join(scores, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("dsir_score", F.lit(0)).cast("long")
+                    .alias("dsir_score"))
+            .select("doc_id", "dsir_score",
+                    (rn <= n_sel).alias("selected")))
+
+
+_SQL_DSIR_WEIGHTS = f"""
+WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+tok AS (SELECT doc_id,
+          ('0x' || substr(md5(u.t), 1, 7))::BIGINT % {_DSIR_B} AS b
+        FROM t, unnest(toks) AS u(t)),
+raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+tgt AS (SELECT ('0x' || substr(md5(u.t), 1, 7))::BIGINT % {_DSIR_B} AS b,
+               count(*) AS ct
+        FROM (SELECT toks[1:{_DECON_PROMPT}] AS toks FROM t
+              WHERE doc_id % 17 = 3), unnest(toks) AS u(t)
+        GROUP BY b),
+ratio AS (SELECT raw.b,
+            ((coalesce(tgt.ct, 0) + 1) * {_DSIR_Q} // (raw.cr + 1)) AS rq
+          FROM raw LEFT JOIN tgt USING (b)),
+sc AS (SELECT tok.doc_id, sum(ratio.rq)::BIGINT AS dsir_score
+       FROM tok JOIN ratio USING (b) GROUP BY tok.doc_id),
+alldocs AS (SELECT d.doc_id, coalesce(sc.dsir_score, 0)::BIGINT AS dsir_score
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+SELECT doc_id, dsir_score,
+       (row_number() OVER (ORDER BY dsir_score DESC, doc_id)
+        <= (SELECT count(*) // 5 FROM alldocs)) AS selected
+FROM alldocs
+"""
+
+
+# --------------------------- domain-mix rebalancing (Pile/Dolma style)
+
+def _idiv(a, b):
+    """Exact integer division on long columns: (a - a % b) is exactly
+    divisible by b, so the double division returns the exact integer
+    quotient (all values < 2^53). Spark's `/` alone is DOUBLE division —
+    floor() of a misrounded quotient can disagree with DuckDB's `//`."""
+    return ((a - a % b) / b).cast("long")
+
+
+def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mix rebalancing: each source gets an integer target weight
+    t_i (derived from its id: (suffix % 4) + 1 — a curated-vs-web tiering
+    stand-in), and the mix keeps the largest corpus every source can
+    supply its share of: K = min_i floor(c_i * T / t_i), then exactly
+    floor(K * t_i / T) docs per source chosen by hash order (md5 rank,
+    doc_id tie-break — the deterministic equivalent of uniform sampling).
+    Output: every doc with its hash rank and selected flag; the selected
+    counts realize the target mix exactly (up to floor).
+
+    100 TB shape: per-source counts are one map-side-combined agg over a
+    handful of keys; the K scalar and per-source quotas broadcast back
+    (dim-sized); selection is a rank-vs-quota predicate inside one
+    per-source window (at extreme scale the rank becomes a hash-threshold
+    predicate with a quantile-estimated cutoff — no global sort either
+    way)."""
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    t_w = (F.regexp_extract("source", r"(\d+)$", 1).cast("long") % 4 + 1)
+    counts = (d.groupBy("source").agg(F.count("*").alias("c"))
+              .select("source", "c", t_w.alias("t")))
+    totals = counts.agg(F.sum("t").alias("tt"))
+    k = (counts.crossJoin(F.broadcast(totals))
+         .agg(F.min(_idiv(F.col("c") * F.col("tt"), F.col("t"))).alias("k"),
+              F.max("tt").alias("tt")))
+    quota = (counts.crossJoin(F.broadcast(k))
+             .select("source", _idiv(F.col("k") * F.col("t"), F.col("tt"))
+                     .alias("quota")))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.md5(F.col("doc_id")
+                                                   .cast("string")),
+                                             "doc_id"))
+    return (d.withColumn("rank_in_source", rn.cast("long"))
+            .join(F.broadcast(quota), "source")
+            .select("doc_id", "source", "rank_in_source",
+                    (F.col("rank_in_source") <= F.col("quota"))
+                    .alias("selected")))
+
+
+_SQL_DOMAIN_MIX = """
+WITH c AS (SELECT source, count(*) AS c,
+             (regexp_extract(source, '(\\d+)$', 1)::BIGINT % 4 + 1) AS t
+           FROM documents GROUP BY source),
+k AS (SELECT sum(t) AS tt, min(c * (SELECT sum(t) FROM c) // t) AS k FROM c),
+quota AS (SELECT source, (k.k * c.t // k.tt)::BIGINT AS quota
+          FROM c, k),
+r AS (SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT
+        AS rank_in_source
+      FROM documents)
+SELECT r.doc_id, r.source, r.rank_in_source,
+       (r.rank_in_source <= quota.quota) AS selected
+FROM r JOIN quota USING (source)
+"""
+
+
 # ================================================================ registry
 
 QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1554,6 +1698,8 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "url_dedup": q_url_dedup,
     "dup_spans": q_dup_spans,
+    "dsir_weights": q_dsir_weights,
+    "domain_mix": q_domain_mix,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -1584,6 +1730,8 @@ ORACLE_SQL_REF: dict[str, str] = {
     "decontaminate": _SQL_DECONTAMINATE,
     "url_dedup": _url_dedup_sql(),
     "dup_spans": _dup_spans_sql(),
+    "dsir_weights": _SQL_DSIR_WEIGHTS,
+    "domain_mix": _SQL_DOMAIN_MIX,
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }
