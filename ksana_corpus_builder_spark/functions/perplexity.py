@@ -58,18 +58,63 @@ for _ch, _i in _CODE.items():
     _LUT[ord(_ch)] = _i
 
 
-def perplexity_series(texts: pd.Series) -> pd.Series:
-    """pd.Series[str] -> pd.Series[float64] perplexity (lower = more fluent)."""
-    def one(t: str) -> float:
-        if not isinstance(t, str) or len(t) < 2:
-            return float("inf")
-        codes = np.frombuffer(t.lower().encode("utf-32-le"), dtype=np.uint32)
-        idx = _LUT[codes]
-        s = int(_LOGP_E6[idx[:-1], idx[1:]].sum())
-        n = len(idx) - 1
-        return float(10.0 ** (-s / (n * 1e6)))
+def _perplexity_one(t: str) -> float:
+    if not isinstance(t, str) or len(t) < 2:
+        return float("inf")
+    codes = np.frombuffer(t.lower().encode("utf-32-le"), dtype=np.uint32)
+    idx = _LUT[codes]
+    s = int(_LOGP_E6[idx[:-1], idx[1:]].sum())
+    n = len(idx) - 1
+    return float(10.0 ** (-s / (n * 1e6)))
 
-    return texts.map(one).astype(np.float64)
+
+def perplexity_series(texts: pd.Series) -> pd.Series:
+    """pd.Series[str] -> pd.Series[float64] perplexity (lower = more fluent).
+
+    Whole-batch: per-doc lowercase (C calls; str.lower is per-codepoint, so
+    lowering before concatenation equals lowering each doc), ONE utf-32
+    encode + LUT gather over the concatenated buffer, ONE transition-score
+    gather, then per-doc EXACT int64 sums as cumsum differences — the same
+    integer the per-doc path sums, so the resulting float is bit-identical
+    (pinned vs _perplexity_one in tests/test_properties.py). Transitions
+    crossing doc boundaries are excluded by summing only each doc's
+    interior [start, end-1) pair range."""
+    n_rows = len(texts)
+    if n_rows == 0:
+        return pd.Series(np.empty(0, np.float64), index=texts.index)
+    vals = texts.to_numpy(dtype=object)
+    try:
+        lowered = [t.lower() if isinstance(t, str) else "" for t in vals]
+        buf = np.frombuffer("".join(lowered).encode("utf-32-le"),
+                            dtype=np.uint32)
+    except UnicodeEncodeError:  # lone surrogates: rare, per-doc path
+        return texts.map(_perplexity_one).astype(np.float64)
+    lens = np.fromiter(map(len, lowered), np.int64, n_rows)
+    offs = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    idx = _LUT[buf]
+    if len(idx) < 2:
+        return pd.Series(np.full(n_rows, np.inf), index=texts.index)
+    trans = _LOGP_E6[idx[:-1], idx[1:]]
+    tcum = np.zeros(len(trans) + 1, np.int64)
+    np.cumsum(trans, out=tcum[1:])
+    m = len(trans)  # tcum valid indices: 0..m
+    starts = np.minimum(offs[:-1], m)
+    ends = np.minimum(np.maximum(offs[1:] - 1, starts), m)
+    s = tcum[ends] - tcum[starts]  # garbage for len<2 docs; masked below
+    n_tr = lens - 1
+    # the per-doc path gates on the ORIGINAL length (lowercasing can change
+    # length: len('İ')==1 but len('İ'.lower())==2), then divides by the
+    # LOWERED transition count — mirror both exactly
+    orig_ok = np.fromiter(
+        (isinstance(t, str) and len(t) >= 2 for t in vals), bool, n_rows)
+    ok = orig_ok & (n_tr >= 1)
+    out = np.full(n_rows, np.inf)
+    expo = (-s[ok] / (n_tr[ok] * 1e6)).tolist()
+    # CPython float.__pow__, not np.power — they differ by 1 ULP on some
+    # inputs and the per-doc path (and golden oracle) uses the former
+    out[ok] = [10.0 ** e for e in expo]
+    return pd.Series(out, index=texts.index)
 
 
 def sql_parts() -> tuple[str, str, int]:

@@ -42,22 +42,38 @@ SCRUB_RULE_NAMES = [name for name, _, _ in SCRUB_RULES]
 # the synthetic pages corpus, where 75% of docs have no digit at all).
 _GATE_DIGIT = re.compile(r"[0-9]")
 _GATE_TOX = re.compile(r"(?i)word")
+# tighter per-rule necessary conditions, checked only on digit-bearing
+# docs: every ipv4 match contains digit-dot-digit (octets may be 1 digit,
+# so a 3-digit-run gate would be UNSOUND there); every ssn/phone match
+# contains 3 consecutive digits ("[0-9]{3}-" / area code); every
+# credit-card match contains 4. These simple patterns scan at C speed;
+# the full rule patterns (alternations, boundary assertions) are ~5x the
+# cost per byte and now run only on docs that can possibly match.
+_GATE_D3 = re.compile(r"[0-9]{3}")
+_GATE_D4 = re.compile(r"[0-9]{4}")
+_GATE_IP = re.compile(r"[0-9]\.[0-9]")
 
 
 def _gate_rows(vals) -> dict[str, list[int]]:
-    has_at, has_dig, has_dashdig, has_word = [], [], [], []
+    has_at, has_ip, has_ssn, has_d4, has_d3, has_word = [], [], [], [], [], []
     dig, tox = _GATE_DIGIT.search, _GATE_TOX.search
+    d3, d4, ip = _GATE_D3.search, _GATE_D4.search, _GATE_IP.search
     for i, v in enumerate(vals):
         if "@" in v:
             has_at.append(i)
         if dig(v) is not None:
-            has_dig.append(i)
-            if "-" in v:
-                has_dashdig.append(i)
+            if ip(v) is not None:
+                has_ip.append(i)
+            if d3(v) is not None:
+                has_d3.append(i)
+                if "-" in v:
+                    has_ssn.append(i)
+                if d4(v) is not None:
+                    has_d4.append(i)
         if tox(v) is not None:
             has_word.append(i)
-    return {"email": has_at, "ipv4": has_dig, "ssn": has_dashdig,
-            "credit_card": has_dig, "phone": has_dig,
+    return {"email": has_at, "ipv4": has_ip, "ssn": has_ssn,
+            "credit_card": has_d4, "phone": has_d3,
             "toxicity": has_word}
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 
 _BOM = "﻿"
@@ -54,6 +55,91 @@ _MULTI_NL = re.compile(r"\n{3,}")
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
 
+def _collapse_ws_regex(s: pd.Series) -> pd.Series:
+    """Steps 5-6 of the contract as the original three regex passes + strip.
+    Kept as the fallback and the equivalence oracle for the numpy path."""
+    s = s.str.replace(_SPACES, " ", regex=True)
+    s = s.str.replace(_LINE_EDGE, "\n", regex=True)
+    s = s.str.replace(_MULTI_NL, "\n\n", regex=True)
+    return s.str.strip()
+
+
+def _collapse_ws(texts: pd.Series) -> pd.Series:
+    """Whitespace collapse (contract steps 5-6), whole-batch numpy.
+
+    The three sequential regex passes ([ \\t\\f\\v]+ -> ' ', ' *\\n *' ->
+    '\\n', \\n{3,} -> '\\n\\n') compose, per maximal run of the chars
+    {space, tab, FF, VT, LF}, to: a run containing no LF collapses to one
+    space; a run containing k LFs collapses to min(k, 2) newlines (every
+    space subrun inside or at the edge of such a run borders an LF, so the
+    line-edge pass deletes it). Runs never merge across the non-whitespace
+    chars separating them, and other Unicode whitespace (NBSP, U+3000, ...)
+    is untouched by all three passes — it splits runs exactly like any
+    non-matched char, and only the final str.strip() removes it at the
+    edges. That makes the passes a pure per-run rewrite, done here as mask
+    algebra over one flat UTF-32 buffer (match-per-space regex scanning was
+    ~6x the cost of this whole-batch form; equivalence is pinned by
+    tests/test_properties.py against _collapse_ws_regex).
+    """
+    n_rows = len(texts)
+    if n_rows == 0:
+        return texts
+    vals = texts.to_numpy()
+    try:
+        joined = "".join(vals)
+        buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    except UnicodeEncodeError:  # lone surrogates: rare, regex path handles
+        return _collapse_ws_regex(texts)
+    n = len(buf)
+    if n == 0:
+        return pd.Series([""] * n_rows, index=texts.index)
+    lens = np.fromiter((len(v) for v in vals), np.int64, n_rows)
+    offs = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+
+    is_nl = buf == 10
+    is_ws = (buf == 32) | (buf == 9) | (buf == 12) | (buf == 11) | is_nl
+
+    # run starts/ends, never crossing row boundaries
+    prev_ws = np.empty(n, bool)
+    prev_ws[0] = False
+    prev_ws[1:] = is_ws[:-1]
+    next_ws = np.empty(n, bool)
+    next_ws[-1] = False
+    next_ws[:-1] = is_ws[1:]
+    at_row_start = np.zeros(n, bool)
+    at_row_start[offs[:-1][lens > 0]] = True
+    at_row_end = np.zeros(n, bool)
+    at_row_end[offs[1:][lens > 0] - 1] = True
+    start_mask = is_ws & (~prev_ws | at_row_start)
+    end_mask = is_ws & (~next_ws | at_row_end)
+    starts = np.flatnonzero(start_mask)
+    ends = np.flatnonzero(end_mask)  # same count, pairwise inclusive
+
+    # newlines per run via one cumsum
+    nl_cum = np.zeros(n + 1, np.int64)
+    np.cumsum(is_nl, out=nl_cum[1:])
+    k = nl_cum[ends + 1] - nl_cum[starts]
+
+    out = buf.copy()
+    keep = ~is_ws
+    keep[starts] = True
+    out[starts] = np.where(k == 0, 32, 10)
+    two = starts[k >= 2] + 1  # run length >= k >= 2, stays in-run
+    keep[two] = True
+    out[two] = 10
+
+    keep_cum = np.zeros(n + 1, np.int64)
+    np.cumsum(keep, out=keep_cum[1:])
+    new_offs = keep_cum[offs]
+    flat = out[keep].tobytes().decode("utf-32-le")
+    res = pd.Series(
+        [flat[new_offs[i]:new_offs[i + 1]] for i in range(n_rows)],
+        index=texts.index,
+    )
+    return res.str.strip()
+
+
 def extract_text(htmls: pd.Series) -> pd.Series:
     """pd.Series[bytes|str html] -> pd.Series[str text] — byte-identity kernel.
 
@@ -70,10 +156,7 @@ def extract_text(htmls: pd.Series) -> pd.Series:
     s = s.str.replace(_ANY_TAG, "", regex=True)
     for ent, ch in _ENTITIES:
         s = s.str.replace(ent, ch, regex=False)
-    s = s.str.replace(_SPACES, " ", regex=True)
-    s = s.str.replace(_LINE_EDGE, "\n", regex=True)
-    s = s.str.replace(_MULTI_NL, "\n\n", regex=True)
-    return s.str.strip()
+    return _collapse_ws(s)
 
 
 _TAG_STRIP = _ANY_TAG
@@ -137,7 +220,4 @@ def extract_text_with_rules(htmls: pd.Series,
     s = s.str.replace(_ANY_TAG, "", regex=True)
     for ent, ch in _ENTITIES:
         s = s.str.replace(ent, ch, regex=False)
-    s = s.str.replace(_SPACES, " ", regex=True)
-    s = s.str.replace(_LINE_EDGE, "\n", regex=True)
-    s = s.str.replace(_MULTI_NL, "\n\n", regex=True)
-    return s.str.strip()
+    return _collapse_ws(s)

@@ -110,3 +110,42 @@ def test_codec_column_roundtrip_property(book, page, col, line, ch):
     page = page % ((1 << pat.pagebits) // 4 - 1)
     k = codec.pack(book, pat.fold_page(page, col), line, ch, pat)
     assert codec.parse(codec.stringify(k, pat), pat) == k
+
+
+_WS_ALPHABET = st.sampled_from(
+    [" ", "\t", "\n", "\f", "\v", "\xa0", "　", " ", "a", "b",
+     "<", ">", "\U0001f600"])
+
+
+@given(st.lists(st.lists(_WS_ALPHABET, max_size=16).map("".join),
+                max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_collapse_ws_matches_regex_path(rows):
+    """The numpy whitespace-collapse path is byte-identical to the three
+    sequential regex passes + strip it replaces (extract_text contract
+    steps 5-6), including non-ASCII whitespace that must survive the
+    collapse untouched and only strip at the edges."""
+    import pandas as pd
+
+    from ksana_corpus_builder_spark.functions import text as T
+    s = pd.Series(rows, dtype=object)
+    got = T._collapse_ws(s)
+    want = T._collapse_ws_regex(s)
+    assert got.tolist() == want.tolist()
+
+
+@given(st.lists(st.text(
+    alphabet=st.sampled_from(list("abZ9 .,İΣßé中") + ["\U0001f600"]),
+    max_size=12), max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_perplexity_batch_matches_per_doc(rows):
+    """The whole-batch perplexity (one concatenated gather + cumsum
+    segment sums) is bit-identical to the per-doc reference path,
+    including case-expanding lowercases and len<2 edge docs."""
+    import pandas as pd
+
+    from ksana_corpus_builder_spark.functions import perplexity as P
+    s = pd.Series(rows, dtype=object)
+    got = P.perplexity_series(s).tolist()
+    want = [P._perplexity_one(t) for t in rows]
+    assert got == want
