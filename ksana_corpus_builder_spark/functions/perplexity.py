@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .text import _narrowest_buffer
+
 _ALPHABET = "abcdefghijklmnopqrstuvwxyz .,0123456789"
 _V = len(_ALPHABET) + 1  # +1 = OOV bucket
 _CODE = {c: i for i, c in enumerate(_ALPHABET)}
@@ -85,8 +87,9 @@ def perplexity_series(texts: pd.Series) -> pd.Series:
     vals = texts.to_numpy(dtype=object)
     try:
         lowered = [t.lower() if isinstance(t, str) else "" for t in vals]
-        buf = np.frombuffer("".join(lowered).encode("utf-32-le"),
-                            dtype=np.uint32)
+        # narrowest code-unit buffer (uint8/uint16/uint32): LUT gather is
+        # dtype-agnostic, bus traffic drops 4x/2x on ascii/BMP webtext
+        buf, _ = _narrowest_buffer("".join(lowered))
     except UnicodeEncodeError:  # lone surrogates: rare, per-doc path
         return texts.map(_perplexity_one).astype(np.float64)
     lens = np.fromiter(map(len, lowered), np.int64, n_rows)

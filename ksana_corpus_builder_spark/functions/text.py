@@ -55,6 +55,22 @@ _MULTI_NL = re.compile(r"\n{3,}")
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
 
+def _narrowest_buffer(joined: str) -> tuple[np.ndarray, str]:
+    """Narrowest numpy code-unit view of a str: ascii -> uint8, BMP-only ->
+    uint16 (utf-16-le; astral chars detected by the surrogate-pair byte-length
+    mismatch), else uint32 (utf-32-le). In every returned tier the code units
+    EQUAL the codepoints, so masks and LUT gathers are dtype-agnostic while
+    narrower buffers cut memory-bus traffic 4x/2x — the single-box 32-core
+    bottleneck. Raises UnicodeEncodeError on lone surrogates (callers fall
+    back to their per-doc/regex path)."""
+    if joined.isascii():
+        return np.frombuffer(joined.encode("ascii"), np.uint8), "ascii"
+    b = joined.encode("utf-16-le")
+    if len(b) == 2 * len(joined):  # no astral chars: units == codepoints
+        return np.frombuffer(b, np.uint16), "utf-16-le"
+    return np.frombuffer(joined.encode("utf-32-le"), np.uint32), "utf-32-le"
+
+
 def _collapse_ws_regex(s: pd.Series) -> pd.Series:
     """Steps 5-6 of the contract as the original three regex passes + strip.
     Kept as the fallback and the equivalence oracle for the numpy path."""
@@ -87,7 +103,7 @@ def _collapse_ws(texts: pd.Series) -> pd.Series:
     vals = texts.to_numpy()
     try:
         joined = "".join(vals)
-        buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        buf, enc = _narrowest_buffer(joined)
     except UnicodeEncodeError:  # lone surrogates: rare, regex path handles
         return _collapse_ws_regex(texts)
     n = len(buf)
@@ -116,8 +132,8 @@ def _collapse_ws(texts: pd.Series) -> pd.Series:
     starts = np.flatnonzero(start_mask)
     ends = np.flatnonzero(end_mask)  # same count, pairwise inclusive
 
-    # newlines per run via one cumsum
-    nl_cum = np.zeros(n + 1, np.int64)
+    # newlines per run via one cumsum (int32 is safe: n < 2^31 per batch)
+    nl_cum = np.zeros(n + 1, np.int32)
     np.cumsum(is_nl, out=nl_cum[1:])
     k = nl_cum[ends + 1] - nl_cum[starts]
 
@@ -129,10 +145,10 @@ def _collapse_ws(texts: pd.Series) -> pd.Series:
     keep[two] = True
     out[two] = 10
 
-    keep_cum = np.zeros(n + 1, np.int64)
+    keep_cum = np.zeros(n + 1, np.int32)
     np.cumsum(keep, out=keep_cum[1:])
     new_offs = keep_cum[offs]
-    flat = out[keep].tobytes().decode("utf-32-le")
+    flat = out[keep].tobytes().decode(enc)
     res = pd.Series(
         [flat[new_offs[i]:new_offs[i + 1]] for i in range(n_rows)],
         index=texts.index,
