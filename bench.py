@@ -49,7 +49,7 @@ HEADLINE = (
     # round-4 additions (suite 44 -> 49 incl. the flagship)
     "tei_lines", "dedup_components", "media_pixels", "scrub_phone_fixture",
     "ccnet_buckets_approx", "line_dedup", "decontaminate", "url_dedup",
-    "dup_spans", "dsir_weights", "domain_mix",
+    "dup_spans", "dsir_weights", "domain_mix", "semdedup",
 )
 
 

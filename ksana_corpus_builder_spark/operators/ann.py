@@ -354,6 +354,60 @@ def block_cosine_pairs(embeddings: DataFrame, threshold: float,
             .applyInPandas(pairs, schema="id_a long, id_b long, cos_sim double"))
 
 
+def semdedup(embeddings: DataFrame, n_cells: int = 16, iters: int = 2,
+             threshold: float = 0.4, id_col: str = "vec_id",
+             vec_col: str = "embedding", centroids=None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (k-means cluster, then prune
+    within clusters): every vector is assigned to its nearest Lloyd-refined
+    centroid (ivf_assign — 6dp-rounded cosine argmax, the exact-replayable
+    quantizer shared with ivf_topk), and WITHIN each cell a vector is a
+    semantic duplicate if some LOWER-id cell-mate has cosine >= threshold
+    (keep-lowest-id policy). Output per vector: (vec_id, cell,
+    max_lower_sim — 6dp cosine to the nearest lower-id cell-mate, null for
+    the cell's id-minimum — is_dup).
+
+    100 TB shape: clustering bounds the quadratic stage to CELL-LOCAL gram
+    matrices — one shuffle on the cell key (the at-rest partition key of a
+    cell-bucketed vector table), one dense BLAS product per cell, never an
+    all-pairs product. Oversized cells split with lsh_cosine_pairs inside
+    the cell at extreme scale; here cells are ~n/n_cells.
+    """
+    import numpy as np
+    import pandas as pd
+
+    Cn = (centroids if centroids is not None
+          else ivf_centroids_kmeans(embeddings, n_cells, iters,
+                                    id_col, vec_col))
+    assigned = (ivf_assign(embeddings, n_cells, id_col, vec_col,
+                           centroids=Cn)
+                .select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("v"), "cell"))
+    thr = float(threshold)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.maximum(np.linalg.norm(X, axis=1), 1e-30)
+        # dot first, divide after — the oracle's formula shape
+        # (sum(xy) / (sqrt(sum(xx)) * sqrt(sum(yy))))
+        sims = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+        lower = np.tril(np.ones(sims.shape, dtype=bool), k=-1)
+        m = np.where(lower, sims, -np.inf).max(axis=1, initial=-np.inf)
+        has_lower = np.isfinite(m)
+        return pd.DataFrame({
+            "vec_id": ids.astype("int64"),
+            "cell": pdf["cell"].to_numpy()[order].astype("int32"),
+            "max_lower_sim": pd.arrays.FloatingArray(
+                np.where(has_lower, m, 0.0), ~has_lower),
+            "is_dup": has_lower & (m >= thr),
+        })
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune,
+        schema="vec_id long, cell int, max_lower_sim double, is_dup boolean")
+
+
 def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
     """Per-vector symmetric int8 scalar quantization: q = round(x * 127 /

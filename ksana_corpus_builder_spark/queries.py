@@ -989,7 +989,7 @@ _DRIVER_WINDOW = [
     "ccnet_buckets", "text_embed_topk", "scrub_rule_counts",
     # round-4 additions (oracle-backed first)
     "scrub_phone_fixture", "media_pixels", "line_dedup", "decontaminate",
-    "url_dedup", "dup_spans", "dsir_weights", "domain_mix",
+    "url_dedup", "dup_spans", "dsir_weights", "domain_mix", "semdedup",
     # rows-only: never driver-checked sketches (weaker rows-count check)
     # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB
     # twin by design, agreement pytest-gated; VERDICT r3 #6)

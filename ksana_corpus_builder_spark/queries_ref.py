@@ -904,13 +904,14 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ann.ivf_topk(e, qv, k=10, n_cells=16, n_probe=8, centroids=cents)
 
 
-def _ivf_kmeans_sql(n_cells: int = 16, iters: int = 2, n_probe: int = 8,
-                    k: int = 10, dim: int = 64) -> str:
-    """Unrolled Lloyd iterations as CTE chains: assign (rounded-cosine
-    argmax, tie -> lowest cell) then update (exact DECIMAL component sums,
-    empty cells keep the previous direction), repeated `iters` times, then
-    probe + final top-k — the literal SQL replay of ivf_centroids_kmeans +
-    ivf_topk."""
+def _kmeans_cte_prefix(n_cells: int, iters: int,
+                       dim: int) -> tuple[list[str], str, str]:
+    """Shared Lloyd-quantizer CTE prefix: init (first-n_cells vectors) +
+    `iters` unrolled assign/update rounds — assignment by 6dp-rounded
+    cosine argmax (tie -> lowest cell), update by exact DECIMAL component
+    sums (empty cells keep the previous direction). Returns (blocks,
+    final_centroid_cte, sim_expr); callers append their own consumer CTEs
+    (ivf_kmeans_topk: probe + top-k; semdedup: within-cell pairwise)."""
     sim = ("round(list_sum(list_transform(range(1, {d1}), "
            "i -> a.emb[i] * c.cemb[i])) "
            "/ greatest(sqrt(list_sum(list_transform(a.emb, x -> x * x))) "
@@ -939,6 +940,15 @@ c{t} AS (
     (SELECT cell, list(v ORDER BY i) AS cemb FROM sum{t} GROUP BY cell) s
     USING (cell))""")
         prev = f"c{t}"
+    return blocks, prev, sim
+
+
+def _ivf_kmeans_sql(n_cells: int = 16, iters: int = 2, n_probe: int = 8,
+                    k: int = 10, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as CTE chains (the shared
+    _kmeans_cte_prefix), then probe + final top-k — the literal SQL replay
+    of ivf_centroids_kmeans + ivf_topk."""
+    blocks, prev, sim = _kmeans_cte_prefix(n_cells, iters, dim)
     blocks.append(f"""
 simsF AS (SELECT a.vec_id, c.cell, {sim} AS s FROM e a CROSS JOIN {prev} c),
 asgF AS (SELECT vec_id, cell FROM (
@@ -959,6 +969,51 @@ s2 AS (SELECT vec_id,
     return ("WITH " + ",".join(blocks)
             + f"\nSELECT vec_id, cos_sim FROM s2 "
               f"ORDER BY cos_sim DESC, vec_id LIMIT {k}")
+
+
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space with the SAME Lloyd
+    quantizer machinery as ivf_kmeans_topk (one exact-replayable
+    refinement round — cluster QUALITY barely moves the pruning set, so
+    semdedup spends one iteration where the recall-sensitive ANN probe
+    spends two), then within each cell mark every vector whose 6dp cosine
+    to some LOWER-id cell-mate is >= 0.4 as a semantic duplicate
+    (keep-lowest-id). The quadratic stage is cell-local BLAS — one shuffle
+    on the cell key, never an all-pairs product (operators/ann.py:
+    semdedup). The oracle replays the shared Lloyd CTE prefix + a
+    within-cell self-join."""
+    from .operators import ann
+    e = load(spark, sf, "embeddings")
+    cents = ann.ivf_centroids_kmeans(e, n_cells=16, iters=1)
+    return ann.semdedup(e, n_cells=16, iters=1, threshold=0.4,
+                        centroids=cents)
+
+
+def _semdedup_sql(n_cells: int = 16, iters: int = 1, dim: int = 64,
+                  threshold: str = "0.4") -> str:
+    """SQL replay of q_semdedup: the shared Lloyd CTE prefix, a final
+    assignment, then max cosine to any lower-id same-cell vector."""
+    blocks, prev, sim = _kmeans_cte_prefix(n_cells, iters, dim)
+    blocks.append(f"""
+simsF AS (SELECT a.vec_id, c.cell, {sim} AS s FROM e a CROSS JOIN {prev} c),
+asgF AS (SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+  FROM simsF) WHERE rn = 1),
+v AS (SELECT e.vec_id, e.emb, asgF.cell FROM e JOIN asgF USING (vec_id)),
+cp AS (SELECT a.vec_id AS vid, b.vec_id AS oid, a.emb AS ea, b.emb AS eb
+       FROM v a JOIN v b ON a.cell = b.cell AND b.vec_id < a.vec_id),
+px AS (SELECT vid, oid, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y
+       FROM cp),
+ps AS (SELECT vid, oid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS cs
+       FROM px GROUP BY vid, oid),
+mx AS (SELECT vid, max(cs) AS max_lower_sim FROM ps GROUP BY vid)""")
+    return ("WITH " + ",".join(blocks) + f"""
+SELECT v.vec_id, v.cell::INTEGER AS cell, mx.max_lower_sim,
+       COALESCE(mx.max_lower_sim >= {threshold}, FALSE) AS is_dup
+FROM v LEFT JOIN mx ON mx.vid = v.vec_id""")
 
 
 # ------------------------------------- round-3 web-pipeline coverage adds
@@ -1700,6 +1755,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_spans": q_dup_spans,
     "dsir_weights": q_dsir_weights,
     "domain_mix": q_domain_mix,
+    "semdedup": q_semdedup,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -1732,6 +1788,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "dup_spans": _dup_spans_sql(),
     "dsir_weights": _SQL_DSIR_WEIGHTS,
     "domain_mix": _SQL_DOMAIN_MIX,
+    "semdedup": _semdedup_sql(),
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }

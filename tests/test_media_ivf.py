@@ -212,3 +212,44 @@ def test_lsh_cosine_pairs_subset_of_exact(spark):
     # production recall lever, same bucket join repeated per table)
     if exact:
         assert len(lsh) / len(exact) >= 0.1, (len(lsh), len(exact))
+
+
+def test_semdedup_keep_lowest_and_subset_of_exact(spark):
+    """SemDeDup invariants: (1) each cell's id-minimum is never a dup and
+    has a NULL max_lower_sim; (2) every flagged dup has an exact all-pairs
+    cosine partner >= threshold with a lower id (cell-local pruning is a
+    SUBSET of global near-dup pairs — clustering can only miss cross-cell
+    pairs, never invent similarity)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = ann.semdedup(e, n_cells=8, iters=1, threshold=0.4).collect()
+    assert len(rows) == e.count()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell_rows in by_cell.values():
+        lo = min(cell_rows, key=lambda r: r.vec_id)
+        assert lo.max_lower_sim is None and not lo.is_dup
+        for r in cell_rows:
+            if r.vec_id != lo.vec_id:
+                assert r.max_lower_sim is not None
+    exact = {(r.id_a, r.id_b) for r in
+             ann.block_cosine_pairs(e, 0.4, blocks=4).collect()}
+    partners_of = {b for _, b in exact}
+    for r in rows:
+        if r.is_dup:
+            assert r.vec_id in partners_of, r
+
+
+def test_semdedup_flags_exact_duplicate(spark):
+    """A literally duplicated vector (same embedding, higher id) must land
+    in the same cell and be flagged with max_lower_sim == 1.0."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64)
+    clone = (e.where(F.col("vec_id") == 3)
+             .select((F.col("vec_id") + 10_000).alias("vec_id"),
+                     "embedding", "label"))
+    out = {r.vec_id: r for r in
+           ann.semdedup(e.unionByName(clone), n_cells=4, iters=1,
+                        threshold=0.99).collect()}
+    dup = out[10_003]
+    assert dup.cell == out[3].cell
+    assert dup.is_dup and dup.max_lower_sim == 1.0
