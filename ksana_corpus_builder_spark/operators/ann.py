@@ -375,6 +375,9 @@ def semdedup(embeddings: DataFrame, n_cells: int = 16, iters: int = 2,
     import numpy as np
     import pandas as pd
 
+    # prune BEFORE the pandas stages: column pruning does not cross
+    # mapInPandas, so an unpruned scan would read every column at 100 TB
+    embeddings = embeddings.select(id_col, vec_col)
     Cn = (centroids if centroids is not None
           else ivf_centroids_kmeans(embeddings, n_cells, iters,
                                     id_col, vec_col))
