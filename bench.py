@@ -50,6 +50,7 @@ HEADLINE = (
     "tei_lines", "dedup_components", "media_pixels", "scrub_phone_fixture",
     "ccnet_buckets_approx", "line_dedup", "decontaminate", "url_dedup",
     "dup_spans", "dsir_weights", "domain_mix", "semdedup",
+    "quality_classifier",
 )
 
 

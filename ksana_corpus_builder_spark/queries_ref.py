@@ -1723,6 +1723,92 @@ FROM r JOIN quota USING (source)
 """
 
 
+# ----------------- model-based quality filtering (fastText-style linear)
+
+_QC_B = 4096  # hashed feature buckets = rows of the frozen "model" table
+_QC_W = 1000  # integer weight range [-W, W]
+
+
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering, fastText inference shape (the
+    GPT-3/CCNet/LLaMA web-pipeline stage: a trained linear classifier over
+    hashed bag-of-words scores every page): features are hashed unigrams
+    PLUS word-bigrams (fastText wordNgrams=2) with token multiplicity; the
+    MODEL is a (bucket -> integer weight) side table — synthesized
+    deterministically here from md5 of the bucket id, standing in for
+    trained parameters, loaded exactly the way a real trained table would
+    be; a document's score is the exact integer sum of its feature
+    weights and keep = n_feats > 0 AND score >= 0, which equals the sign
+    of the mean-pooled linear score (dividing by n_feats cannot change
+    the sign — so the decision is integer-exact with no float division).
+
+    100 TB shape: the model table is {_QC_B} rows -> broadcast join onto
+    the exploded feature stream (no corpus-sized shuffle for the lookup);
+    the per-doc sum partial-aggregates map-side; ONE shuffle keyed by
+    doc_id."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    base = d.select("doc_id", toks.alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("toks", i),
+                              F.element_at("toks", i + F.lit(1))))
+    feats = F.concat(
+        F.col("toks"),
+        F.when(F.size("toks") >= 2, bigrams)
+        .otherwise(F.array().cast("array<string>")))
+    ftok = (base.select("doc_id", feats.alias("feats"))
+            .select("doc_id", F.explode("feats").alias("f"))
+            .select("doc_id",
+                    (F.conv(F.substring(F.md5(F.col("f")), 1, 7), 16, 10)
+                     .cast("long") % _QC_B).alias("b")))
+    model = spark.range(_QC_B).select(
+        F.col("id").alias("b"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 7),
+                16, 10).cast("long") % (2 * _QC_W + 1) - _QC_W).alias("w"))
+    scored = (ftok.join(F.broadcast(model), "b")
+              .groupBy("doc_id")
+              .agg(F.sum("w").alias("qc_score"),
+                   F.count("*").alias("n_feats")))
+    return (d.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("qc_score", F.lit(0)).cast("long")
+                    .alias("qc_score"),
+                    F.coalesce("n_feats", F.lit(0)).cast("long")
+                    .alias("n_feats"))
+            .withColumn("keep", (F.col("n_feats") > 0)
+                        & (F.col("qc_score") >= 0)))
+
+
+_SQL_QUALITY_CLASSIFIER = f"""
+WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+fe AS (SELECT doc_id,
+         list_concat(toks,
+           CASE WHEN len(toks) >= 2 THEN
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])
+           ELSE []::VARCHAR[] END) AS feats
+       FROM t),
+ftok AS (SELECT doc_id,
+           ('0x' || substr(md5(u.f), 1, 7))::BIGINT % {_QC_B} AS b
+         FROM fe, unnest(feats) AS u(f)),
+model AS (SELECT r.i AS b,
+            ('0x' || substr(md5(r.i::VARCHAR), 1, 7))::BIGINT
+              % {2 * _QC_W + 1} - {_QC_W} AS w
+          FROM range(0, {_QC_B}) AS r(i)),
+sc AS (SELECT doc_id, sum(w)::BIGINT AS qc_score,
+              count(*)::BIGINT AS n_feats
+       FROM ftok JOIN model USING (b) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sc.qc_score, 0)::BIGINT AS qc_score,
+       coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
+       (coalesce(sc.n_feats, 0) > 0 AND coalesce(sc.qc_score, 0) >= 0)
+         AS keep
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 # ================================================================ registry
 
 QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1756,6 +1842,9 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "domain_mix": q_domain_mix,
     "semdedup": q_semdedup,
+    # oracle-backed but OUTSIDE the full 50-slot driver window this round;
+    # rotate into the round-5 window for its driver CORRECTNESS row
+    "quality_classifier": q_quality_classifier,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -1789,6 +1878,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "dsir_weights": _SQL_DSIR_WEIGHTS,
     "domain_mix": _SQL_DOMAIN_MIX,
     "semdedup": _semdedup_sql(),
+    "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }
