@@ -981,8 +981,10 @@ _DRIVER_WINDOW = [
     "quality_report", "reverse_links_resolved", "standoff_kfields",
     "standoff_afields", "a3_toc", "kpos_roundtrip_col", "incremental_hourly",
     "train_split", "sample_per_source", "context_chunks", "embed_neardup_lsh",
-    "dedup_components", "local_supplier_volume", "media_base64",
+    "dedup_components", "media_base64",
     "stream_sliding",
+    # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
+    # to free the one slot the 11th round-4 query needs)
     # round-3 additions slot in here (keep the window <= 50 entries)
     "pages_pipeline", "minhash_md5", "simhash_md5", "ivf_kmeans_topk",
     "repetition_ngrams", "tfidf_topk", "host_stats", "stream_quality",
@@ -990,6 +992,7 @@ _DRIVER_WINDOW = [
     # round-4 additions (oracle-backed first)
     "scrub_phone_fixture", "media_pixels", "line_dedup", "decontaminate",
     "url_dedup", "dup_spans", "dsir_weights", "domain_mix", "semdedup",
+    "quality_classifier",
     # rows-only: never driver-checked sketches (weaker rows-count check)
     # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB
     # twin by design, agreement pytest-gated; VERDICT r3 #6)

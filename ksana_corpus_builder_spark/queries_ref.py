@@ -1842,8 +1842,6 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "domain_mix": q_domain_mix,
     "semdedup": q_semdedup,
-    # oracle-backed but OUTSIDE the full 50-slot driver window this round;
-    # rotate into the round-5 window for its driver CORRECTNESS row
     "quality_classifier": q_quality_classifier,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
