@@ -61,4 +61,8 @@ def _ensure_staged_pages() -> None:
 
 def oracle_sql() -> dict[str, str]:
     _ensure_staged_pages()
+    # stream_dedup's staged input (pages + re-crawl file) is pandas-built
+    # and cardinality-validated by the same helper its Spark query uses
+    from ksana_corpus_builder_spark.sources.pages import stage_stream_dedup
+    stage_stream_dedup()
     return dict(ORACLE_SQL)

@@ -50,7 +50,8 @@ HEADLINE = (
     "tei_lines", "dedup_components", "media_pixels", "scrub_phone_fixture",
     "ccnet_buckets_approx", "line_dedup", "decontaminate", "url_dedup",
     "dup_spans", "dsir_weights", "domain_mix", "semdedup",
-    "quality_classifier",
+    "quality_classifier", "pagerank", "boilerplate_blocks",
+    "cross_snapshot_dedup", "stream_dedup",
 )
 
 

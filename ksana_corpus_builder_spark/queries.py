@@ -912,9 +912,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 from .queries_ext import ORACLE_SQL_EXT, QUERIES_EXT  # noqa: E402
 from .queries_ref import ORACLE_SQL_REF, QUERIES_REF  # noqa: E402
+from .queries_web import ORACLE_SQL_WEB, QUERIES_WEB  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 QUERIES.update(QUERIES_REF)
+QUERIES.update(QUERIES_WEB)
 
 ORACLE_SQL: dict[str, str] = {
     "doc_stats": _SQL_DOC_STATS,
@@ -951,6 +953,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 ORACLE_SQL.update(ORACLE_SQL_EXT)
 ORACLE_SQL.update(ORACLE_SQL_REF)
+ORACLE_SQL.update(ORACLE_SQL_WEB)
 
 from .queries_ext import QUALITY_SCORE_SQL_TEMPLATE  # noqa: E402
 

@@ -1,0 +1,267 @@
+"""Web-graph / cross-snapshot queries — round-4 widening of the
+LLM-data-pipeline surface beyond the reference's own operators.
+
+Four capabilities a Common-Crawl-scale curation pipeline runs that the
+registry did not yet cover, each as an oracle-checked (spark_fn,
+duckdb_sql) pair:
+
+- pagerank: link-graph centrality (the classic crawl-prioritization /
+  quality-prior signal) as a fixed-iteration distributed computation,
+  integer-exact so three unrolled Lloyd-style SQL CTEs replay it
+  bit-for-bit (the ivf_kmeans_topk oracle pattern).
+- boilerplate_blocks: jusText/trafilatura-shape BLOCK-level content
+  extraction — classify each <p> block of the raw HTML independently and
+  re-assemble the main text from kept blocks (line_dedup operates on the
+  extracted text; this operates on the markup structure).
+- cross_snapshot_dedup: dedupe dump N against dumps 1..N-1 by content
+  hash — the incremental form of exact dedup every periodic crawl
+  ingest runs (within-corpus exact_dedup cannot express it).
+- stream_dedup: the same exact content dedup as a STATEFUL Structured
+  Streaming stage (dropDuplicates state carried across micro-batches;
+  maxFilesPerTrigger=1 forces the duplicate re-crawls into later
+  batches than their originals).
+
+Scale notes are per-query; none of these collect, none are
+all-pairs, and the only broadcast is the O(1)-row scalar N.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.pages import STAGE_PATH as _PAGES_STAGE
+from .sources.pages import STREAM_DEDUP_PATH as _SD_STAGE
+from .sources.tables import load
+
+# ------------------------------------------------------------- PageRank
+
+_PR_S = 1_000_000_000  # rank scale: r0 = S per node, BIGINT throughout
+_PR_ITERS = 3
+# damping 0.85 as exact integer arithmetic: base = (15*S) div 100,
+# r' = base + (17 * inbound_mass) div 20 — floor division agrees between
+# Spark `div` and DuckDB `//` for the non-negative ranks here.
+_PR_BASE = (15 * _PR_S) // 100
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over a deterministic synthetic link graph (2 out-links per
+    doc, targets pure arithmetic in doc_id — the url_dedup derived-variant
+    convention), run for {_PR_ITERS} damped iterations entirely in BIGINT:
+    per-edge contribution = rank div outdeg, next rank = base +
+    (17 * inbound) div 20. Integer floor-division is exact in both
+    engines, so the DuckDB twin replays every iteration bit-for-bit as
+    unrolled CTEs.
+
+    100 TB shape: N reaches the modulo as a broadcast one-row scalar (no
+    collect); each iteration is ONE shuffle — edges hash-partitioned by
+    dst for the inbound-mass aggregation (map-side partial sums) + a join
+    back to the node list; the edge table re-derives from the node scan so
+    nothing corpus-sized is cached between iterations. At 10^12 nodes the
+    BIGINT head-room bound is S * N < 2^63 / 17 — shrink S (or move the
+    sums to DECIMAL, the ivf_kmeans pattern) past ~5 * 10^8 nodes."""
+    d = load(spark, sf, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n"))
+    dn = d.crossJoin(F.broadcast(n))
+    edges = (dn.select(F.col("doc_id").alias("src"),
+                       ((F.col("doc_id") * 73 + 11) % F.col("n")).alias("dst"))
+             .unionAll(dn.select(
+                 F.col("doc_id").alias("src"),
+                 ((F.col("doc_id") * 131 + 29) % F.col("n")).alias("dst"))))
+    r = d.select("doc_id", F.lit(_PR_S).cast("long").alias("pr"))
+    for _ in range(_PR_ITERS):
+        inbound = (edges.join(r, edges.src == r.doc_id)
+                   .select("dst", F.expr("pr div 2").alias("c"))
+                   .groupBy("dst").agg(F.sum("c").alias("m")))
+        r = (d.join(inbound, d.doc_id == inbound.dst, "left")
+             .select(d.doc_id,
+                     (F.lit(_PR_BASE)
+                      + F.expr("(17 * coalesce(m, 0)) div 20"))
+                     .cast("long").alias("pr")))
+    return r
+
+
+def _pagerank_sql() -> str:
+    steps = []
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+m{k} AS (SELECT e.dst, sum({prev}.pr // 2) AS m
+         FROM e JOIN {prev} ON e.src = {prev}.doc_id GROUP BY e.dst),
+r{k} AS (SELECT d.doc_id,
+           ({_PR_BASE} + (17 * coalesce(m{k}.m, 0)) // 20)::BIGINT AS pr
+         FROM documents d LEFT JOIN m{k} ON d.doc_id = m{k}.dst)""")
+        prev = f"r{k}"
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT doc_id AS src, (doc_id * 73 + 11) % n.n AS dst
+        FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 131 + 29) % n.n FROM documents, n),
+r0 AS (SELECT doc_id, {_PR_S}::BIGINT AS pr FROM documents),
+{",".join(steps)}
+SELECT doc_id, pr FROM {prev}
+"""
+
+
+# ------------------------------------- block-level boilerplate extraction
+
+_BB_MIN_CHARS = 80  # jusText-style short-block heuristic
+
+
+def q_boilerplate_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """jusText/trafilatura-shape boilerplate removal at the HTML BLOCK
+    level: decode the raw page bytes, lex out every <p>...</p> block, keep
+    blocks of >= {_BB_MIN_CHARS} chars (the generator emits no anchors, so
+    the link-density term of the full classifier is identically zero and
+    omitted), and re-assemble the main content from kept blocks. Hash
+    parity on the re-joined text proves the block segmentation AND the
+    keep decisions byte-for-byte. main_chars derives from the joined
+    length (minus the n_kept-1 separators) — integer-exact.
+
+    100 TB shape: a pure per-row map over the page scan — no shuffle at
+    all; the regex lexer is one JVM-side pass per page. Each HOF stage is
+    materialized in its own projection (blocks, then kept, then joined)
+    so the no-CSE interpreted-HOF rule cannot re-lex the page."""
+    from .queries import stage_pages
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "html")
+    blocks = p.select("url", F.regexp_extract_all(
+        F.decode("html", "UTF-8"), F.lit(r"<p>(.*?)</p>"), 1).alias("blocks"))
+    kept = blocks.select(
+        "url", F.size("blocks").alias("n_blocks"),
+        F.filter("blocks",
+                 lambda b: F.length(b) >= _BB_MIN_CHARS).alias("kept"))
+    joined = kept.select(
+        "url", "n_blocks", F.size("kept").alias("n_kept"),
+        F.concat_ws("\n", F.col("kept")).alias("joined"))
+    return joined.select(
+        "url", F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (F.length("joined")
+         - F.greatest(F.col("n_kept") - 1, F.lit(0))).cast("long")
+        .alias("main_chars"),
+        F.md5(F.col("joined").cast("binary")).alias("content_md5"))
+
+
+_SQL_BOILERPLATE_BLOCKS = f"""
+WITH p AS (SELECT url, decode(html) AS h
+           FROM read_parquet('{_PAGES_STAGE}/*.parquet')),
+b AS (SELECT url, regexp_extract_all(h, '<p>(.*?)</p>', 1) AS blocks FROM p),
+k AS (SELECT url, blocks,
+        list_filter(blocks, x -> length(x) >= {_BB_MIN_CHARS}) AS kept
+      FROM b),
+j AS (SELECT url, len(blocks) AS n_blocks, len(kept) AS n_kept,
+        -- DuckDB array_to_string([]) is NULL; Spark concat_ws gives ''
+        coalesce(array_to_string(kept, chr(10)), '') AS joined
+      FROM k)
+SELECT url, n_blocks::BIGINT AS n_blocks, n_kept::BIGINT AS n_kept,
+  (length(joined) - greatest(n_kept - 1, 0))::BIGINT AS main_chars,
+  md5(joined) AS content_md5
+FROM j
+"""
+
+
+# --------------------------------------------- cross-snapshot exact dedup
+
+_XS_OFF = 10_000_000  # new-snapshot id offset (>> any sf's max doc_id)
+
+
+def q_cross_snapshot_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedupe crawl dump N against dumps 1..N-1 (the incremental ingest
+    form of exact dedup): the OLD corpus is docs with doc_id % 3 != 2; the
+    NEW dump is the remaining docs (genuinely new content) plus simulated
+    re-crawls of every 5th old doc (same text, new row id) — derived
+    arithmetically so both engines build the identical split. A new row is
+    a duplicate iff its content md5 appears in the old corpus.
+
+    100 TB shape: BOTH sides are corpus-sized, so the membership probe is
+    a shuffle hash join on the content hash (no broadcast) — exactly the
+    dump-N-vs-history job: history stays partitioned by content hash
+    at rest, the new dump shuffles once to the same key space, and the
+    probe is co-located. Output stays per-row for value parity."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    old = d.where(F.col("doc_id") % 3 != 2)
+    fresh = (d.where(F.col("doc_id") % 3 == 2)
+             .select((F.col("doc_id") + _XS_OFF).alias("new_id"), "text")
+             .unionAll(
+                 old.where(F.col("doc_id") % 5 == 0)
+                 .select((F.col("doc_id") + 2 * _XS_OFF).alias("new_id"),
+                         "text")))
+    oldh = old.select(F.md5(F.col("text").cast("binary")).alias("h")).distinct()
+    newh = fresh.select("new_id",
+                        F.md5(F.col("text").cast("binary")).alias("h"))
+    return (newh.join(oldh.withColumn("is_dup", F.lit(True)), "h", "left")
+            .select("new_id", "h",
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+
+
+_SQL_CROSS_SNAPSHOT_DEDUP = f"""
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+fresh AS (SELECT doc_id + {_XS_OFF} AS new_id, text FROM documents
+            WHERE doc_id % 3 = 2
+          UNION ALL
+          SELECT doc_id + {2 * _XS_OFF}, text FROM old WHERE doc_id % 5 = 0),
+oldh AS (SELECT DISTINCT md5(text) AS h FROM old)
+SELECT f.new_id, md5(f.text) AS h,
+       (oldh.h IS NOT NULL) AS is_dup
+FROM fresh f LEFT JOIN oldh ON md5(f.text) = oldh.h
+"""
+
+
+# ------------------------------------------- stateful streaming exact dedup
+
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact content dedup as a STATEFUL Structured Streaming stage: the
+    staged input is the pages table plus a second file of re-crawl
+    duplicates; maxFilesPerTrigger=1 forces the re-crawls into later
+    micro-batches, so dropDuplicates must carry its seen-hash state ACROSS
+    batches (within-batch dedup would pass a one-batch run trivially).
+    Output is the distinct content-hash set — deterministic whatever the
+    file/batch arrival order, which is what makes an exact oracle possible
+    for a streaming stage.
+
+    100 TB shape: dropDuplicates state is hash-partitioned by the dedup
+    key across the cluster (RocksDB-backed state store in production);
+    in a continuous run a watermark on warc_ts bounds it — unbounded here
+    only because the staged input is finite."""
+    from .sources.pages import stage_stream_dedup
+    staged = stage_stream_dedup()
+    schema = spark.read.parquet(staged).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged))
+    res = (stream.select(F.md5(F.col("text").cast("binary")).alias("h"))
+           .dropDuplicates(["h"]))
+    name = f"stream_dedup_{abs(hash(staged)) % 10**8}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (res.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return spark.table(name)
+
+
+_SQL_STREAM_DEDUP = f"""
+SELECT DISTINCT md5(text) AS h
+FROM read_parquet('{_SD_STAGE}/*.parquet')
+"""
+
+
+# ================================================================ registry
+
+QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pagerank": q_pagerank,
+    "boilerplate_blocks": q_boilerplate_blocks,
+    "cross_snapshot_dedup": q_cross_snapshot_dedup,
+    "stream_dedup": q_stream_dedup,
+}
+
+ORACLE_SQL_WEB: dict[str, str] = {
+    "pagerank": _pagerank_sql(),
+    "boilerplate_blocks": _SQL_BOILERPLATE_BLOCKS,
+    "cross_snapshot_dedup": _SQL_CROSS_SNAPSHOT_DEDUP,
+    "stream_dedup": _SQL_STREAM_DEDUP,
+}

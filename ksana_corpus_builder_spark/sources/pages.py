@@ -142,3 +142,52 @@ def pages_df(spark, n: int, seed: int = 42, slices: int | None = None):
 
     rng = spark.range(0, n, 1, slices or spark.sparkContext.defaultParallelism)
     return rng.select(F.col("id")).mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+# ---- stream-dedup staged input: pages + deterministic re-crawl duplicates
+
+STREAM_DEDUP_PATH = "/tmp/ksana_stream_dedup/current.parquet"
+STREAM_DEDUP_RECRAWL_STEP = 5  # every 5th page is re-crawled a day later
+STREAM_DEDUP_N = STAGE_N + STAGE_N // STREAM_DEDUP_RECRAWL_STEP
+
+
+def stage_stream_dedup() -> str:
+    """Stage the stream-dedup input: the STAGE_N pages PLUS a second file
+    of re-crawls (every 5th page, same url/html/text, warc_ts + 1 day) —
+    the next dump re-fetching unchanged pages. Two part files so a
+    maxFilesPerTrigger=1 stream sees the duplicates in a LATER micro-batch
+    than the originals (cross-batch dedup state, not within-batch).
+
+    Pure pandas + pyarrow (no SparkSession) so the Spark query and the
+    DuckDB-oracle pre-seed in __spark_entry__ share it verbatim; content is
+    a pure function of the seed, and a stale dir is validated by row count
+    and rewritten, never trusted (the stage_pages ADVICE-r3 discipline)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(STREAM_DEDUP_PATH):
+        parts = [os.path.join(STREAM_DEDUP_PATH, f)
+                 for f in os.listdir(STREAM_DEDUP_PATH)
+                 if f.endswith(".parquet")]
+        if parts:
+            n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+            if n == STREAM_DEDUP_N and len(parts) >= 2:
+                return STREAM_DEDUP_PATH
+            for p in parts:
+                os.remove(p)
+    os.makedirs(STREAM_DEDUP_PATH, exist_ok=True)
+    base = make_pages_pdf(STAGE_N, seed=42)
+    recrawl = base.iloc[::STREAM_DEDUP_RECRAWL_STEP].copy()
+    recrawl["warc_ts"] = recrawl["warc_ts"] + pd.Timedelta(days=1)
+    for pdf, part in ((base, "part-00000.parquet"),
+                      (recrawl, "part-00001.parquet")):
+        t = pa.Table.from_pandas(pdf, preserve_index=False)
+        # pandas datetimes land as timestamp[ns]; Spark's parquet reader
+        # rejects TIMESTAMP(NANOS) — store microseconds
+        ts_us = pa.field("warc_ts", pa.timestamp("us"))
+        t = t.cast(pa.schema([ts_us if f.name == "warc_ts" else f
+                              for f in t.schema]))
+        pq.write_table(t, os.path.join(STREAM_DEDUP_PATH, part))
+    return STREAM_DEDUP_PATH

@@ -76,6 +76,17 @@ EXPECT: dict[str, list[str]] = {
     # has to happen before the assign stage
     "semdedup": ["hashpartitioning(cell", "FlatMapGroupsInPandas",
                  "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
+    # round 4 (late): pagerank's per-iteration inbound-mass agg must
+    # partial-combine map-side and the scalar N must reach the modulo as a
+    # broadcast (never a collect); the scan prunes to doc_id alone.
+    "pagerank": ["partial_sum", "BroadcastNestedLoopJoin",
+                 "ReadSchema: struct<doc_id:bigint>"],
+    # boilerplate extraction is a pure per-row map: the only columns read
+    # are (url, html) — assert the pruned scan (no shuffle exists to audit)
+    "boilerplate_blocks": ["ReadSchema: struct<url:string,html:binary>"],
+    # dump-N-vs-history probe: the old-hash distinct must partial-combine
+    # before its exchange (HashAggregate pair), membership via hash join
+    "cross_snapshot_dedup": ["HashAggregate", "Join"],
 }
 
 
