@@ -1458,12 +1458,13 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     >=10% flag). Catches copied spans inside otherwise-distinct documents
     — the case document-level minhash misses.
 
-    100 TB shape: windows explode to (window_text, page) rows; the df
-    count is one groupBy (map-side combined; windows are near-unique so
-    no hot keys); the per-page rollup joins window df back on the window
-    hash — at scale both sides key on an 8-byte xxhash64 of the window,
-    exactly like the Jaccard join. Windows are generated with ONE
-    transform over the materialized token array (no-CSE discipline)."""
+    100 TB shape: windows explode to (window_hash, page) rows — the
+    window TEXT never leaves the row it was built in: both shuffle legs
+    (the df count groupBy and the rollup join) key on a 16-byte md5 of
+    the window, not the ~100-byte string, exactly like the Jaccard join
+    (md5 rather than xxhash64 so the DuckDB twin stays value-exact).
+    Windows are generated with ONE transform over the materialized token
+    array, hashed in the same transform (no-CSE discipline)."""
     from .queries import stage_pages
     p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
     toks = F.filter(F.split(F.regexp_replace("text", r"\s+", " "), " "),
@@ -1473,7 +1474,8 @@ def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     n_win = ((F.size("toks") - _SPAN_W) / _SPAN_S + 1).cast("int")
     wins = F.transform(
         F.sequence(F.lit(0), n_win - 1),
-        lambda i: F.concat_ws(" ", F.slice("toks", i * _SPAN_S + 1, _SPAN_W)))
+        lambda i: F.md5(F.concat_ws(
+            " ", F.slice("toks", i * _SPAN_S + 1, _SPAN_W)).cast("binary")))
     pw = (base.select("url", F.explode(wins).alias("w")).distinct())
     docfreq = (pw.groupBy("w").agg(F.count("*").alias("df")))
     return (pw.join(docfreq, "w")
@@ -1495,8 +1497,8 @@ WITH t AS (SELECT url,
            FROM read_parquet('{STAGE_PATH}/*.parquet')),
 b AS (SELECT url, toks FROM t WHERE len(toks) >= {_SPAN_W}),
 pw AS (SELECT DISTINCT url,
-         array_to_string(toks[(i * {_SPAN_S} + 1):(i * {_SPAN_S} + {_SPAN_W})],
-                         ' ') AS w
+         md5(array_to_string(
+           toks[(i * {_SPAN_S} + 1):(i * {_SPAN_S} + {_SPAN_W})], ' ')) AS w
        FROM b, unnest(range(0, ((len(toks) - {_SPAN_W}) // {_SPAN_S}) + 1))
             AS u(i)),
 df AS (SELECT w, count(*) AS df FROM pw GROUP BY w)
