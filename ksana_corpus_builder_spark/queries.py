@@ -968,17 +968,19 @@ ORACLE_SQL["lineage_metrics"] = LINEAGE_SQL_TEMPLATE.format(
 ORACLE_SQL["quality_report"] = QUALITY_REPORT_SQL_TEMPLATE.format(
     keep_drop_sql=_SQL_KEEP_DROP, langid_sql=_langid_sql())
 
-# Driver evidence rotation (round 3). The driver's correctness harness
-# checks exactly the FIRST 50 registry entries. Round 2's run proved the
-# then-first 50; this round FRONTS the 30 queries that have never received
-# a driver CORRECTNESS row (every round-2 addition plus the registry tail)
-# and every round-3 addition, rotating the proven-green round-2 veterans
-# to the tail. Union(r02, r03) then covers all queries with driver rows.
-# Within the window: oracle-backed first, rows-only last, so every checked
-# slot is a full value-parity row where one exists.
+# Driver evidence rotation. The driver's correctness harness checks
+# exactly the FIRST 50 registry entries; rounds rotate so the UNION of
+# per-round windows covers every query (r02 ∪ r03 proved all 90 then-
+# existing; the round-4 window carries ALL 15 round-4 additions —
+# including the late web-four pagerank/boilerplate_blocks/
+# cross_snapshot_dedup/stream_dedup — plus the r03-proven backlog; the
+# four veterans evicted to make room, doc_tpos_map/gap_fill_hours/
+# monotonic_check/first_error, are D3-green in CORRECTNESS_r03). Within
+# the window: oracle-backed first, rows-only last, so every checked slot
+# is a full value-parity row where one exists.
 _DRIVER_WINDOW = [
-    # never driver-checked as of round 2 (oracle-backed)
-    "doc_tpos_map", "gap_fill_hours", "monotonic_check", "first_error",
+    # never driver-checked as of round 2 (oracle-backed); the first four
+    # original members rotated out in round 4 (D3-green) for the web-four
     "unconsumed_dim", "ptr_def_pairs", "reverse_links", "value_buckets",
     "embed_neardup", "doc_fingerprint", "token_count_bpe", "quality_score",
     "quality_report", "reverse_links_resolved", "standoff_kfields",
@@ -996,6 +998,7 @@ _DRIVER_WINDOW = [
     "scrub_phone_fixture", "media_pixels", "line_dedup", "decontaminate",
     "url_dedup", "dup_spans", "dsir_weights", "domain_mix", "semdedup",
     "quality_classifier",
+    "pagerank", "boilerplate_blocks", "cross_snapshot_dedup", "stream_dedup",
     # rows-only: never driver-checked sketches (weaker rows-count check)
     # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB
     # twin by design, agreement pytest-gated; VERDICT r3 #6)
