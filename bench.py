@@ -51,7 +51,7 @@ HEADLINE = (
     "ccnet_buckets_approx", "line_dedup", "decontaminate", "url_dedup",
     "dup_spans", "dsir_weights", "domain_mix", "semdedup",
     "quality_classifier", "pagerank", "boilerplate_blocks",
-    "cross_snapshot_dedup", "stream_dedup",
+    "cross_snapshot_dedup", "stream_dedup", "classifier_train",
 )
 
 

@@ -1811,6 +1811,90 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+# ----------------- distributed classifier TRAINING (batch perceptron)
+
+_CT_B = 512  # hashed feature buckets = trained weight-vector length
+_CT_THR = 300  # n_chars teacher threshold: label = +1 iff n_chars >= THR
+
+
+def q_classifier_train(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAIN the web-quality linear classifier distributed (the upstream
+    stage of `quality_classifier`, which only runs inference against a
+    frozen weight table): two unrolled batch-perceptron iterations over
+    hashed bag-of-words features, every update an exact integer
+    aggregation — the same replay-as-SQL discipline as the Lloyd
+    iterations in `ivf_kmeans_topk`.
+
+    Teacher labels are deterministic (+1 iff n_chars >= {thr}, the
+    CCNet-style "long pages are keepers" prior), so train loss is
+    learnable, not noise-fitting. With w0 = 0 every doc starts
+    misclassified (y*score = 0 <= 0), so iteration 1 is the pure
+    label-weighted count sum w1[b] = sum(y*cnt); iteration 2 rescores
+    with w1 and adds only the still-misclassified docs' contributions.
+    Output = the full {b}-row weight table (b, w1, w2) — integer-exact,
+    partition-order independent.
+
+    100 TB shape: the feature-count table c is doc-sharded and
+    partial-aggregates map-side; per iteration the weight table is {b}
+    rows -> BROADCAST onto c for rescoring (no corpus-sized shuffle),
+    then one {b}-key hash agg for the update. c is scanned once per
+    iteration (persist it on a real cluster). Weight magnitude is
+    bounded by total token count (~10^12 at 100 TB) and cnt <= doc
+    length, so cnt*w1 stays far inside int64 under ANSI mode.
+    """
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    c = (d.select("doc_id",
+                  F.when(F.col("n_chars") >= _CT_THR, F.lit(1))
+                  .otherwise(F.lit(-1)).cast("long").alias("y"),
+                  F.explode(toks).alias("f"))
+         .select("doc_id", "y",
+                 (F.conv(F.substring(F.md5(F.col("f")), 1, 7), 16, 10)
+                  .cast("long") % _CT_B).alias("b"))
+         .groupBy("doc_id", "y", "b").agg(F.count("*").alias("cnt")))
+    # iteration 1: w0 = 0 -> every doc misclassified -> full-corpus update
+    w1 = c.groupBy("b").agg(F.sum(F.col("y") * F.col("cnt")).alias("w1"))
+    # iteration 2: rescore with w1, update from still-misclassified docs
+    s1 = (c.join(F.broadcast(w1), "b")
+          .groupBy("doc_id", "y")
+          .agg(F.sum(F.col("cnt") * F.col("w1")).alias("s1")))
+    mis = s1.filter(F.col("y") * F.col("s1") <= 0).select("doc_id")
+    d2 = (c.join(mis, "doc_id", "left_semi")
+          .groupBy("b").agg(F.sum(F.col("y") * F.col("cnt")).alias("d2")))
+    return (spark.range(_CT_B).select(F.col("id").alias("b"))
+            .join(w1, "b", "left").join(d2, "b", "left")
+            .select("b",
+                    F.coalesce("w1", F.lit(0)).cast("long").alias("w1"),
+                    (F.coalesce("w1", F.lit(0)) + F.coalesce("d2", F.lit(0)))
+                    .cast("long").alias("w2")))
+
+
+q_classifier_train.__doc__ = q_classifier_train.__doc__.format(
+    thr=_CT_THR, b=_CT_B)
+
+_SQL_CLASSIFIER_TRAIN = f"""
+WITH c AS (SELECT doc_id,
+             (CASE WHEN n_chars >= {_CT_THR} THEN 1 ELSE -1 END)::BIGINT
+               AS y,
+             ('0x' || substr(md5(u.f), 1, 7))::BIGINT % {_CT_B} AS b,
+             count(*)::BIGINT AS cnt
+           FROM documents,
+                unnest(list_filter(string_split(text, ' '),
+                                   x -> x <> '')) AS u(f)
+           GROUP BY 1, 2, 3),
+w1 AS (SELECT b, sum(y * cnt)::BIGINT AS w1 FROM c GROUP BY b),
+s1 AS (SELECT c.doc_id, c.y, sum(c.cnt * w1.w1)::BIGINT AS s1
+       FROM c JOIN w1 USING (b) GROUP BY 1, 2),
+mis AS (SELECT doc_id FROM s1 WHERE y * s1 <= 0),
+d2 AS (SELECT b, sum(y * cnt)::BIGINT AS d2 FROM c
+       WHERE doc_id IN (SELECT doc_id FROM mis) GROUP BY b)
+SELECT r.i AS b, coalesce(w1.w1, 0)::BIGINT AS w1,
+       (coalesce(w1.w1, 0) + coalesce(d2.d2, 0))::BIGINT AS w2
+FROM range(0, {_CT_B}) AS r(i)
+LEFT JOIN w1 ON r.i = w1.b LEFT JOIN d2 ON r.i = d2.b
+"""
+
+
 # ================================================================ registry
 
 QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1845,6 +1929,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix": q_domain_mix,
     "semdedup": q_semdedup,
     "quality_classifier": q_quality_classifier,
+    "classifier_train": q_classifier_train,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -1879,6 +1964,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "domain_mix": _SQL_DOMAIN_MIX,
     "semdedup": _semdedup_sql(),
     "quality_classifier": _SQL_QUALITY_CLASSIFIER,
+    "classifier_train": _SQL_CLASSIFIER_TRAIN,
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }

@@ -30,6 +30,47 @@ def test_oracle_keys_subset():
     assert set(entrymod.oracle_sql()) <= set(QS)
 
 
+def test_classifier_train_golden_and_learns(spark):
+    """The distributed 2-iteration batch perceptron matches a pure
+    pandas/hashlib golden replay weight-for-weight, and it LEARNS: the
+    misclassified count under w1 is below n_docs (w0=0 misclassifies
+    everything), and w2's update only touches buckets of docs still
+    misclassified under w1."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    df = QS["classifier_train"](spark, SF)
+    got = {r.b: (r.w1, r.w2) for r in df.collect()}
+    assert len(got) == 512
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+    B, THR = 512, 300
+    per_doc = []  # (y, Counter{b: cnt})
+    for _, row in docs.iterrows():
+        y = 1 if row.n_chars >= THR else -1
+        cnt = Counter(
+            int(hashlib.md5(t.encode()).hexdigest()[:7], 16) % B
+            for t in row.text.split(" ") if t != "")
+        per_doc.append((y, cnt))
+    w1 = Counter()
+    for y, cnt in per_doc:
+        for b, c in cnt.items():
+            w1[b] += y * c
+    mis = [(y, cnt) for y, cnt in per_doc
+           if y * sum(c * w1[b] for b, c in cnt.items()) <= 0]
+    w2 = Counter(w1)
+    for y, cnt in mis:
+        for b, c in cnt.items():
+            w2[b] += y * c
+    for b in range(B):
+        assert got[b] == (w1[b], w2[b]), (b, got[b], (w1[b], w2[b]))
+    # learnability: w1 already classifies some docs correctly
+    assert 0 < len(mis) < len(per_doc)
+
+
 def test_quality_classifier_feature_count_and_sign_rule(spark):
     """fastText-shape invariants: n_feats == 2*n_tok - 1 for docs with
     >= 2 tokens (unigrams + wordNgrams=2 bigrams, token multiplicity

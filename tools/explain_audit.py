@@ -87,6 +87,13 @@ EXPECT: dict[str, list[str]] = {
     # dump-N-vs-history probe: the old-hash distinct must partial-combine
     # before its exchange (HashAggregate pair), membership via hash join
     "cross_snapshot_dedup": ["HashAggregate", "Join"],
+    # perceptron training: the 512-row weight table must BROADCAST onto
+    # the feature stream for rescoring (never a corpus-sized shuffle), the
+    # update aggs must partial-combine map-side, and the scan prunes to
+    # exactly the training columns
+    "classifier_train": ["BroadcastHashJoin", "partial_sum",
+                         "ReadSchema: struct<doc_id:bigint,text:string,"
+                         "n_chars:bigint>"],
 }
 
 
