@@ -1811,6 +1811,66 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+# ----------------- URL blocklist filtering (UT1 / RefinedWeb shape)
+
+_UF_KWS = ("bad", "fee", "ace", "dad")  # banned path substrings (hex-able)
+
+
+def q_url_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-level filtering, the first stage of RefinedWeb/CCNet-style web
+    pipelines: drop pages whose HOST is on a curated blocklist (UT1
+    shape: a (host, category) side table — synthesized deterministically
+    here over the generator's host universe, loaded exactly the way the
+    real multi-million-row UT1 list would be) or whose PATH contains a
+    banned keyword. keep = neither rule fires.
+
+    100 TB shape: the blocklist is dimension-sized -> BROADCAST left
+    join on the extracted host (no corpus shuffle; the UT1 list is ~4M
+    rows, still broadcastable); the keyword test is a per-row LIKE chain
+    (whole-stage codegen, no HOF) — the whole query is a single
+    shuffle-free map over the crawl."""
+    from .queries import stage_pages
+    staged = spark.read.parquet(stage_pages(spark, sf))
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    path = F.regexp_extract("url", r"^https://[^/]+/(.*)$", 1)
+    block = (spark.range(16).filter(F.col("id") % 3 == 0)
+             .select(F.concat(F.lit("host"), F.col("id").cast("string"),
+                              F.lit(".example")).alias("host"),
+                     F.when(F.col("id") % 2 == 0, F.lit("adult"))
+                     .otherwise(F.lit("ads")).alias("category")))
+    kw_hit = None
+    for kw in _UF_KWS:
+        t = path.like(f"%{kw}%")
+        kw_hit = t if kw_hit is None else (kw_hit | t)
+    return (staged.select("url", host.alias("host"),
+                          kw_hit.alias("blocked_path"))
+            .join(F.broadcast(block), "host", "left")
+            .select("url", "host", "category",
+                    F.col("category").isNotNull().alias("blocked_host"),
+                    "blocked_path",
+                    (F.col("category").isNull() & ~F.col("blocked_path"))
+                    .alias("keep")))
+
+
+def _url_filter_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    likes = " OR ".join(f"path LIKE '%{k}%'" for k in _UF_KWS)
+    return f"""
+WITH p AS (SELECT url,
+             regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+             regexp_extract(url, '^https://[^/]+/(.*)$', 1) AS path
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+block AS (SELECT 'host' || i::VARCHAR || '.example' AS host,
+            CASE WHEN i % 2 = 0 THEN 'adult' ELSE 'ads' END AS category
+          FROM range(0, 16) AS r(i) WHERE i % 3 = 0)
+SELECT p.url, p.host, block.category,
+       (block.category IS NOT NULL) AS blocked_host,
+       ({likes}) AS blocked_path,
+       (block.category IS NULL AND NOT ({likes})) AS keep
+FROM p LEFT JOIN block ON p.host = block.host
+"""
+
+
 # ----------------- distributed classifier TRAINING (batch perceptron)
 
 _CT_B = 512  # hashed feature buckets = trained weight-vector length
@@ -1930,6 +1990,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,
     "quality_classifier": q_quality_classifier,
     "classifier_train": q_classifier_train,
+    "url_filter": q_url_filter,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -1965,6 +2026,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "semdedup": _semdedup_sql(),
     "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     "classifier_train": _SQL_CLASSIFIER_TRAIN,
+    "url_filter": _url_filter_sql(),
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }

@@ -94,6 +94,11 @@ EXPECT: dict[str, list[str]] = {
     "classifier_train": ["BroadcastHashJoin", "partial_sum",
                          "ReadSchema: struct<doc_id:bigint,text:string,"
                          "n_chars:bigint>"],
+    # URL blocklist: the (host, category) dim must BROADCAST (left join),
+    # the crawl side reads only the url column, and there is no shuffle —
+    # the whole filter is a codegen'd per-row map
+    "url_filter": ["BroadcastHashJoin", "LeftOuter",
+                   "ReadSchema: struct<url:string>"],
 }
 
 
