@@ -1811,6 +1811,68 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
 
 
+# ----------------- intra-document repeated-line removal (C4 shape)
+
+
+def q_intra_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """WITHIN-document repeated-line removal (the C4/Gopher intra-page
+    boilerplate rule — distinct from `line_dedup`, which drops lines by
+    CORPUS-wide frequency): keep only the FIRST occurrence of each line
+    inside a page, re-assemble the kept text in order. The staged pages
+    have no natural intra-page repeats, so the input is derived by
+    appending each page's own first line (same expression in both
+    engines) — every page then has >= 1 in-page duplicate and the oracle
+    hash proves both the drop decisions and the byte-exact re-join.
+
+    100 TB shape: first-occurrence detection is an algebraic min(pos)
+    window partitioned by (url, line) — page-bounded partitions, no
+    global sort — then one per-page re-aggregation; both exchanges key on
+    url-prefixed keys. No corpus-wide state at all (this rule is
+    embarrassingly page-parallel; it shuffles only because the line
+    stream is exploded — inside the fused pipeline the same rule runs
+    shuffle-free per Arrow batch)."""
+    from pyspark.sql import Window
+    from .queries import stage_pages
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
+    aug = p.select("url", F.concat_ws(
+        "\n", "text",
+        F.element_at(F.split("text", "\n"), 1)).alias("text"))
+    lines = aug.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line"))
+    first = lines.withColumn(
+        "min_pos", F.min("pos").over(Window.partitionBy("url", "line")))
+    kept = F.when(F.col("pos") == F.col("min_pos"),
+                  F.struct("pos", "line"))
+    return (first.groupBy("url").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("pos") != F.col("min_pos"), 1).otherwise(0))
+        .alias("n_dropped"),
+        F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(kept)),  # nulls skipped
+            lambda s: s["line"])).alias("text_kept")))
+
+
+def _intra_line_dedup_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH s0 AS (SELECT url, text || chr(10) || string_split(text, chr(10))[1]
+              AS text
+            FROM read_parquet('{STAGE_PATH}/*.parquet')),
+s AS (SELECT url, string_split(text, chr(10)) AS ls FROM s0),
+l AS (SELECT url, i AS pos, ls[i] AS line
+      FROM s, unnest(range(1, len(ls) + 1)) AS u(i)),
+m AS (SELECT url, pos, line,
+        min(pos) OVER (PARTITION BY url, line) AS min_pos
+      FROM l)
+SELECT url, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN pos <> min_pos THEN 1 ELSE 0 END)::BIGINT
+         AS n_dropped,
+       coalesce(string_agg(CASE WHEN pos = min_pos THEN line END, chr(10)
+                           ORDER BY pos), '') AS text_kept
+FROM m GROUP BY url
+"""
+
+
 # ----------------- URL blocklist filtering (UT1 / RefinedWeb shape)
 
 _UF_KWS = ("bad", "fee", "ace", "dad")  # banned path substrings (hex-able)
@@ -1991,6 +2053,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "classifier_train": q_classifier_train,
     "url_filter": q_url_filter,
+    "intra_line_dedup": q_intra_line_dedup,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -2027,6 +2090,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "quality_classifier": _SQL_QUALITY_CLASSIFIER,
     "classifier_train": _SQL_CLASSIFIER_TRAIN,
     "url_filter": _url_filter_sql(),
+    "intra_line_dedup": _intra_line_dedup_sql(),
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }

@@ -99,6 +99,11 @@ EXPECT: dict[str, list[str]] = {
     # the whole filter is a codegen'd per-row map
     "url_filter": ["BroadcastHashJoin", "LeftOuter",
                    "ReadSchema: struct<url:string>"],
+    # intra-doc line dedup: first-occurrence via an algebraic min window
+    # on page-bounded (url, line) partitions (no global sort), per-page
+    # re-agg partial-combines map-side, scan prunes to (url, text)
+    "intra_line_dedup": ["Window", "partial_count",
+                         "ReadSchema: struct<url:string,text:string>"],
 }
 
 
