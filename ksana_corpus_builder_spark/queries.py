@@ -973,18 +973,18 @@ ORACLE_SQL["quality_report"] = QUALITY_REPORT_SQL_TEMPLATE.format(
 # per-round windows covers every query (r02 ∪ r03 proved all 90 then-
 # existing; the round-4 window carries ALL 15 round-4 additions —
 # including the late web-four pagerank/boilerplate_blocks/
-# cross_snapshot_dedup/stream_dedup, classifier_train, url_filter and
-# intra_line_dedup — plus the r03-proven backlog; the seven veterans
-# evicted to make room, doc_tpos_map/gap_fill_hours/monotonic_check/
-# first_error/unconsumed_dim/ptr_def_pairs/reverse_links, are D3-green
-# in CORRECTNESS_r03). Within
+# cross_snapshot_dedup/stream_dedup, classifier_train, url_filter,
+# intra_line_dedup and c4_line_filter — plus the r03-proven backlog; the
+# eight veterans evicted to make room, doc_tpos_map/gap_fill_hours/
+# monotonic_check/first_error/unconsumed_dim/ptr_def_pairs/reverse_links/
+# value_buckets, are D3-green in CORRECTNESS_r03). Within
 # the window: oracle-backed first, rows-only last, so every checked slot
 # is a full value-parity row where one exists.
 _DRIVER_WINDOW = [
-    # never driver-checked as of round 2 (oracle-backed); seven original
+    # never driver-checked as of round 2 (oracle-backed); eight original
     # members rotated out in round 4 (all D3-green in CORRECTNESS_r03) for
-    # the web-four + classifier_train + url_filter + intra_line_dedup
-    "value_buckets",
+    # the web-four + classifier_train + url_filter + intra_line_dedup +
+    # c4_line_filter
     "embed_neardup", "doc_fingerprint", "token_count_bpe", "quality_score",
     "quality_report", "reverse_links_resolved", "standoff_kfields",
     "standoff_afields", "a3_toc", "kpos_roundtrip_col", "incremental_hourly",
@@ -1002,7 +1002,7 @@ _DRIVER_WINDOW = [
     "url_dedup", "dup_spans", "dsir_weights", "domain_mix", "semdedup",
     "quality_classifier",
     "pagerank", "boilerplate_blocks", "cross_snapshot_dedup", "stream_dedup",
-    "classifier_train", "url_filter", "intra_line_dedup",
+    "classifier_train", "url_filter", "intra_line_dedup", "c4_line_filter",
     # rows-only: never driver-checked sketches (weaker rows-count check)
     # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB
     # twin by design, agreement pytest-gated; VERDICT r3 #6)

@@ -1873,6 +1873,73 @@ FROM m GROUP BY url
 """
 
 
+# ----------------- C4 line-level heuristics (Raffel et al. 2020 shape)
+
+
+def q_c4_line_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The C4 line rules (Raffel et al. 2020): keep only lines that END IN
+    TERMINAL PUNCTUATION and have >= 5 words; keep a page only if >= 3
+    lines survive; re-assemble the kept text. The staged vocabulary lines
+    carry almost no terminal punctuation, so the input derives it
+    deterministically — lines whose md5 bucket is 0/1 (mod 3) get '.'/'!'
+    appended, the same expression in both engines — which keeps BOTH
+    predicate branches live on every page (the intra_line_dedup derived-
+    input discipline).
+
+    100 TB shape: line tagging is a pure per-row map (codegen'd split +
+    endswith + hash); the only shuffle is the per-page re-aggregation
+    keyed by url, map-side combined. Page-parallel at any scale."""
+    from .queries import stage_pages
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
+    lines = p.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pos", "line"))
+    b = (F.conv(F.substring(F.md5(F.col("line")), 1, 7), 16, 10)
+         .cast("long") % 3)
+    line2 = F.concat(F.col("line"),
+                     F.when(b == 0, F.lit("."))
+                     .when(b == 1, F.lit("!")).otherwise(F.lit("")))
+    tagged = lines.select("url", "pos", line2.alias("line2"))
+    nw = F.size(F.filter(F.split("line2", " "), lambda x: x != F.lit("")))
+    keep = (F.substring("line2", -1, 1).isin(".", "!")
+            & (nw >= 5)).alias("keep_line")
+    kept_struct = F.when(F.col("keep_line"), F.struct("pos", "line2"))
+    return (tagged.select("url", "pos", "line2", keep)
+            .groupBy("url").agg(
+                F.count("*").alias("n_lines"),
+                F.sum(F.col("keep_line").cast("long"))
+                .alias("n_kept_lines"),
+                (F.sum(F.col("keep_line").cast("long")) >= 3)
+                .alias("page_keep"),
+                F.concat_ws("\n", F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line2"])).alias("text_kept")))
+
+
+def _c4_line_filter_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH s AS (SELECT url, string_split(text, chr(10)) AS ls
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+l AS (SELECT url, i AS pos, ls[i] AS line
+      FROM s, unnest(range(1, len(ls) + 1)) AS u(i)),
+t AS (SELECT url, pos,
+        line || CASE ('0x' || substr(md5(line), 1, 7))::BIGINT % 3
+                  WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '' END AS line2
+      FROM l),
+k AS (SELECT url, pos, line2,
+        (right(line2, 1) IN ('.', '!')
+         AND len(list_filter(string_split(line2, ' '), x -> x <> '')) >= 5)
+          AS keep_line
+      FROM t)
+SELECT url, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN keep_line THEN 1 ELSE 0 END)::BIGINT AS n_kept_lines,
+       (sum(CASE WHEN keep_line THEN 1 ELSE 0 END) >= 3) AS page_keep,
+       coalesce(string_agg(CASE WHEN keep_line THEN line2 END, chr(10)
+                           ORDER BY pos), '') AS text_kept
+FROM k GROUP BY url
+"""
+
+
 # ----------------- URL blocklist filtering (UT1 / RefinedWeb shape)
 
 _UF_KWS = ("bad", "fee", "ace", "dad")  # banned path substrings (hex-able)
@@ -2054,6 +2121,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_train": q_classifier_train,
     "url_filter": q_url_filter,
     "intra_line_dedup": q_intra_line_dedup,
+    "c4_line_filter": q_c4_line_filter,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -2091,6 +2159,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "classifier_train": _SQL_CLASSIFIER_TRAIN,
     "url_filter": _url_filter_sql(),
     "intra_line_dedup": _intra_line_dedup_sql(),
+    "c4_line_filter": _c4_line_filter_sql(),
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }

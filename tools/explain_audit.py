@@ -104,6 +104,10 @@ EXPECT: dict[str, list[str]] = {
     # re-agg partial-combines map-side, scan prunes to (url, text)
     "intra_line_dedup": ["Window", "partial_count",
                          "ReadSchema: struct<url:string,text:string>"],
+    # C4 line rules: pure per-row tagging (no shuffle before the per-page
+    # re-agg, which partial-combines map-side); scan prunes to (url, text)
+    "c4_line_filter": ["partial_count",
+                       "ReadSchema: struct<url:string,text:string>"],
 }
 
 
