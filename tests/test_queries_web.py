@@ -95,3 +95,68 @@ def test_stream_dedup_state_spans_batches(spark):
     got = {r.h for r in qw.q_stream_dedup(spark, SF).collect()}
     assert got == expect
     assert len(got) < STREAM_DEDUP_N  # something was actually deduped
+
+
+def test_intra_line_dedup_invariants(spark):
+    """Structural invariants of the within-page dedup: exactly one kept
+    occurrence per distinct line (text_kept has NO repeated lines),
+    n_lines = kept + dropped, every page drops >= 1 line (the derived
+    in-page duplicate), and kept lines preserve first-occurrence order."""
+    from ksana_corpus_builder_spark.queries_ref import q_intra_line_dedup
+    rows = q_intra_line_dedup(spark, SF).collect()
+    assert rows
+    for r in rows:
+        kept = r.text_kept.split("\n")
+        assert len(kept) == len(set(kept)), r.url
+        assert r.n_dropped >= 1, r.url
+        assert len(kept) + r.n_dropped == r.n_lines, r.url
+
+
+def test_intra_line_dedup_pandas_replay(spark):
+    """Byte-exact pandas replay: first occurrence wins, order preserved."""
+    from ksana_corpus_builder_spark.queries import stage_pages
+    from ksana_corpus_builder_spark.queries_ref import q_intra_line_dedup
+    staged = stage_pages(spark, SF)
+    got = {r.url: r for r in q_intra_line_dedup(spark, SF).collect()}
+    pdf = pd.read_parquet(staged, columns=["url", "text"])
+    for _, row in pdf.iterrows():
+        lines = (row.text + "\n" + row.text.split("\n")[0]).split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        r = got[row.url]
+        assert r.text_kept == "\n".join(kept), row.url
+        assert r.n_lines == len(lines) and \
+            r.n_dropped == len(lines) - len(kept), row.url
+
+
+def test_c4_line_filter_pandas_replay(spark):
+    """Byte-exact pandas/hashlib replay of the C4 line rules, including
+    the md5-derived terminal punctuation; both predicate branches must
+    fire somewhere in the corpus."""
+    from ksana_corpus_builder_spark.queries import stage_pages
+    from ksana_corpus_builder_spark.queries_ref import q_c4_line_filter
+    staged = stage_pages(spark, SF)
+    got = {r.url: r for r in q_c4_line_filter(spark, SF).collect()}
+    pdf = pd.read_parquet(staged, columns=["url", "text"])
+    any_punct_fail = any_words_fail = False
+    for _, row in pdf.iterrows():
+        kept = []
+        lines = row.text.split("\n")
+        for ln in lines:
+            b = int(hashlib.md5(ln.encode()).hexdigest()[:7], 16) % 3
+            ln2 = ln + (".", "!", "")[b]
+            ends = ln2[-1:] in (".", "!")
+            enough = len([w for w in ln2.split(" ") if w]) >= 5
+            if ends and enough:
+                kept.append(ln2)
+            any_punct_fail |= not ends
+            any_words_fail |= ends and not enough
+        r = got[row.url]
+        assert r.text_kept == "\n".join(kept), row.url
+        assert r.n_lines == len(lines)
+        assert r.n_kept_lines == len(kept)
+        assert r.page_keep == (len(kept) >= 3)
+    assert any_punct_fail and any_words_fail  # both branches live
