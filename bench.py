@@ -52,7 +52,7 @@ HEADLINE = (
     "dup_spans", "dsir_weights", "domain_mix", "semdedup",
     "quality_classifier", "pagerank", "boilerplate_blocks",
     "cross_snapshot_dedup", "stream_dedup", "classifier_train",
-    "url_filter", "intra_line_dedup", "c4_line_filter",
+    "url_filter", "intra_line_dedup", "c4_line_filter", "minhash_dedup",
 )
 
 

@@ -981,11 +981,11 @@ ORACLE_SQL["quality_report"] = QUALITY_REPORT_SQL_TEMPLATE.format(
 # the window: oracle-backed first, rows-only last, so every checked slot
 # is a full value-parity row where one exists.
 _DRIVER_WINDOW = [
-    # never driver-checked as of round 2 (oracle-backed); eight original
+    # never driver-checked as of round 2 (oracle-backed); nine original
     # members rotated out in round 4 (all D3-green in CORRECTNESS_r03) for
     # the web-four + classifier_train + url_filter + intra_line_dedup +
-    # c4_line_filter
-    "embed_neardup", "doc_fingerprint", "token_count_bpe", "quality_score",
+    # c4_line_filter + minhash_dedup (embed_neardup was the ninth out)
+    "doc_fingerprint", "token_count_bpe", "quality_score",
     "quality_report", "reverse_links_resolved", "standoff_kfields",
     "standoff_afields", "a3_toc", "kpos_roundtrip_col", "incremental_hourly",
     "train_split", "sample_per_source", "context_chunks", "embed_neardup_lsh",
@@ -1003,6 +1003,7 @@ _DRIVER_WINDOW = [
     "quality_classifier",
     "pagerank", "boilerplate_blocks", "cross_snapshot_dedup", "stream_dedup",
     "classifier_train", "url_filter", "intra_line_dedup", "c4_line_filter",
+    "minhash_dedup",
     # rows-only: never driver-checked sketches (weaker rows-count check)
     # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB
     # twin by design, agreement pytest-gated; VERDICT r3 #6)

@@ -1873,6 +1873,66 @@ FROM m GROUP BY url
 """
 
 
+# ----------------- MinHash fuzzy dedup, END-TO-END (GPT-3/Gopher shape)
+
+_MHD_MIN_MATCH = 8  # keep pairs agreeing on >= 8/16 signature slots
+
+
+def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The CANONICAL fuzzy-dedup pipeline end-to-end in one query —
+    shingle -> MinHash signatures -> LSH band buckets -> candidate pairs
+    -> signature-agreement filter (>= {mm}/16 slots, est Jaccard 0.5) ->
+    connected components (large-star/small-star) -> keep-lowest-id
+    representative per cluster. This is the GPT-3/Gopher document-dedup
+    stage a user would actually run; the building blocks (`minhash_md5`,
+    `dedup_components`) are each value-proven separately, and here the
+    COMPOSITION is value-proven too: the DuckDB twin chains the minhash
+    CTE stack into the same recursive-CTE closure.
+
+    100 TB shape: inherits the pieces' plans verbatim — shuffle-free
+    signature fold, bucketed band join (never cross-product), O(log n)
+    star rounds — plus one final left join of the doc universe against
+    the component labels. No new scale surface."""
+    from .operators.components import connected_components_star
+    from .operators.dedup import minhash_md5_pairs
+    d = load(spark, sf, "documents")
+    pairs = (minhash_md5_pairs(
+        d.repartition(spark.sparkContext.defaultParallelism),
+        k=16, bands=4, n=3)
+        .where(F.col("n_match") >= _MHD_MIN_MATCH))
+    comp = connected_components_star(pairs.select("id_a", "id_b"),
+                                     src="id_a", dst="id_b",
+                                     vertices=d.select("doc_id"))
+    return comp.select(F.col("id").alias("doc_id"), "component",
+                       (F.col("id") == F.col("component")).alias("is_rep"))
+
+
+q_minhash_dedup.__doc__ = q_minhash_dedup.__doc__.format(mm=_MHD_MIN_MATCH)
+
+
+def _minhash_dedup_sql() -> str:
+    # the proven minhash_md5 CTE stack (everything before its final
+    # SELECT) feeding the proven recursive-closure tail
+    base = _minhash_md5_sql()
+    head, _, _tail = base.rpartition("SELECT id_a, id_b, n_match")
+    assert head, "minhash_md5 SQL shape changed"
+    return head.rstrip() + f""",
+pairs AS (
+  SELECT id_a, id_b FROM m WHERE n_match >= {_MHD_MIN_MATCH}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a)
+  SELECT a, min(b) AS component FROM r GROUP BY a)
+SELECT a AS doc_id, component::BIGINT AS component,
+       (a = component) AS is_rep
+FROM reach
+"""
+
+
 # ----------------- C4 line-level heuristics (Raffel et al. 2020 shape)
 
 
@@ -2122,6 +2182,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_filter": q_url_filter,
     "intra_line_dedup": q_intra_line_dedup,
     "c4_line_filter": q_c4_line_filter,
+    "minhash_dedup": q_minhash_dedup,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -2160,6 +2221,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "url_filter": _url_filter_sql(),
     "intra_line_dedup": _intra_line_dedup_sql(),
     "c4_line_filter": _c4_line_filter_sql(),
+    "minhash_dedup": _minhash_dedup_sql(),
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }
