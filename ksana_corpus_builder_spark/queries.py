@@ -968,6 +968,10 @@ ORACLE_SQL["lineage_metrics"] = LINEAGE_SQL_TEMPLATE.format(
 ORACLE_SQL["quality_report"] = QUALITY_REPORT_SQL_TEMPLATE.format(
     keep_drop_sql=_SQL_KEEP_DROP, langid_sql=_langid_sql())
 
+from .queries_ref import corpus_manifest_sql  # noqa: E402
+
+ORACLE_SQL["corpus_manifest"] = corpus_manifest_sql(_SQL_KEEP_DROP)
+
 # Driver evidence rotation. The driver's correctness harness checks
 # exactly the FIRST 50 registry entries; rounds rotate so the UNION of
 # per-round windows covers every query (r02 ∪ r03 proved all 90 then-
@@ -981,11 +985,12 @@ ORACLE_SQL["quality_report"] = QUALITY_REPORT_SQL_TEMPLATE.format(
 # the window: oracle-backed first, rows-only last, so every checked slot
 # is a full value-parity row where one exists.
 _DRIVER_WINDOW = [
-    # never driver-checked as of round 2 (oracle-backed); nine original
+    # never driver-checked as of round 2 (oracle-backed); ten original
     # members rotated out in round 4 (all D3-green in CORRECTNESS_r03) for
     # the web-four + classifier_train + url_filter + intra_line_dedup +
-    # c4_line_filter + minhash_dedup (embed_neardup was the ninth out)
-    "doc_fingerprint", "token_count_bpe", "quality_score",
+    # c4_line_filter + minhash_dedup + corpus_manifest (embed_neardup and
+    # doc_fingerprint were the last two out)
+    "token_count_bpe", "quality_score",
     "quality_report", "reverse_links_resolved", "standoff_kfields",
     "standoff_afields", "a3_toc", "kpos_roundtrip_col", "incremental_hourly",
     "train_split", "sample_per_source", "context_chunks", "embed_neardup_lsh",
@@ -1003,7 +1008,7 @@ _DRIVER_WINDOW = [
     "quality_classifier",
     "pagerank", "boilerplate_blocks", "cross_snapshot_dedup", "stream_dedup",
     "classifier_train", "url_filter", "intra_line_dedup", "c4_line_filter",
-    "minhash_dedup",
+    "minhash_dedup", "corpus_manifest",
     # rows-only: never driver-checked sketches (weaker rows-count check)
     # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB
     # twin by design, agreement pytest-gated; VERDICT r3 #6)

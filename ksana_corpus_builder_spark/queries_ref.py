@@ -1933,6 +1933,50 @@ FROM reach
 """
 
 
+# ----------------- final corpus manifest (the shipped-training-set join)
+
+
+def q_corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """The CAPSTONE join a pipeline actually ships: one row per document
+    with every gating decision — quality keep (the flagship rules
+    kernel), fuzzy-dedup representative (end-to-end MinHash components),
+    benchmark contamination — and the final verdict
+    final_keep = quality_keep AND is_rep AND NOT contaminated.
+    Each input is value-proven on its own; this proves the JOIN of the
+    three decision streams (the DuckDB twin nests all three proven SQL
+    stacks as CTEs). At sf0.001 every gate is live: ~20% of drops come
+    from each source.
+
+    100 TB shape: three doc-keyed streams hash-join on doc_id — with the
+    corpus bucketed by doc_id at rest all three joins are co-located
+    (operators/bucketed.py); nothing here adds a new scale surface."""
+    from .queries import q_keep_drop
+    kd = q_keep_drop(spark, sf).select(
+        "doc_id", F.col("keep").alias("quality_keep"))
+    mh = q_minhash_dedup(spark, sf)
+    dc = q_decontaminate(spark, sf).select("doc_id", "contaminated")
+    return (kd.join(mh, "doc_id").join(dc, "doc_id")
+            .select("doc_id", "quality_keep", "is_rep", "component",
+                    "contaminated",
+                    (F.col("quality_keep") & F.col("is_rep")
+                     & ~F.col("contaminated")).alias("final_keep")))
+
+
+def corpus_manifest_sql(keep_drop_sql: str) -> str:
+    """SQL twin template — keep_drop_sql is injected by queries.py (the
+    quality_report composition pattern; queries_ref must not import
+    queries at module scope)."""
+    return f"""
+WITH kd AS ({keep_drop_sql}),
+mh AS ({_minhash_dedup_sql()}),
+dc AS ({_SQL_DECONTAMINATE})
+SELECT kd.doc_id, kd.keep AS quality_keep, mh.is_rep, mh.component,
+       dc.contaminated,
+       (kd.keep AND mh.is_rep AND NOT dc.contaminated) AS final_keep
+FROM kd JOIN mh ON kd.doc_id = mh.doc_id JOIN dc ON kd.doc_id = dc.doc_id
+"""
+
+
 # ----------------- C4 line-level heuristics (Raffel et al. 2020 shape)
 
 
@@ -2183,6 +2227,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intra_line_dedup": q_intra_line_dedup,
     "c4_line_filter": q_c4_line_filter,
     "minhash_dedup": q_minhash_dedup,
+    "corpus_manifest": q_corpus_manifest,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
