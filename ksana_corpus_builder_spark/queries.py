@@ -878,6 +878,39 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_corpus_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus DATACARD (the reporting artifact shipped with a training
+    set): keep-rate / volume rollup over (lang, source) at every grouping
+    level — per (lang, source), per lang, and the corpus total — with the
+    quality keep coming from the flagship rules kernel. ROLLUP grouping
+    levels are distinguished by the NULL markers (the cube_lineitem
+    parity convention).
+
+    100 TB shape: the label join is doc-keyed (co-located under the
+    at-rest doc_id bucketing) and the rollup is one algebraic hash agg —
+    Spark expands grouping sets BEFORE the map-side partial combine, so
+    the shuffle carries a few rows per (grouping set x partition)."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    kd = q_keep_drop(spark, sf).select("doc_id", "keep")
+    return (d.join(kd, "doc_id")
+            .rollup("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+_DATACARD_SQL_TEMPLATE = """
+WITH kd AS ({keep_drop_sql}),
+j AS (SELECT d.lang, d.source, d.n_chars, kd.keep
+      FROM documents d JOIN kd ON d.doc_id = kd.doc_id)
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM j GROUP BY ROLLUP (lang, source)
+"""
+
+
 # ================================================================ registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -899,6 +932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers": q_top_customers,
     "region_agg": q_region_agg,
     "cube_lineitem": q_cube_lineitem,
+    "corpus_datacard": q_corpus_datacard,
     "top_orders_per_cust": q_top_orders_per_cust,
     "set_ops": q_set_ops,
     "ann_topk": q_ann_topk,
@@ -971,6 +1005,8 @@ ORACLE_SQL["quality_report"] = QUALITY_REPORT_SQL_TEMPLATE.format(
 from .queries_ref import corpus_manifest_sql  # noqa: E402
 
 ORACLE_SQL["corpus_manifest"] = corpus_manifest_sql(_SQL_KEEP_DROP)
+ORACLE_SQL["corpus_datacard"] = _DATACARD_SQL_TEMPLATE.format(
+    keep_drop_sql=_SQL_KEEP_DROP)
 
 # Driver evidence rotation. The driver's correctness harness checks
 # exactly the FIRST 50 registry entries; rounds rotate so the UNION of
@@ -985,12 +1021,12 @@ ORACLE_SQL["corpus_manifest"] = corpus_manifest_sql(_SQL_KEEP_DROP)
 # the window: oracle-backed first, rows-only last, so every checked slot
 # is a full value-parity row where one exists.
 _DRIVER_WINDOW = [
-    # never driver-checked as of round 2 (oracle-backed); ten original
+    # never driver-checked as of round 2 (oracle-backed); eleven original
     # members rotated out in round 4 (all D3-green in CORRECTNESS_r03) for
     # the web-four + classifier_train + url_filter + intra_line_dedup +
-    # c4_line_filter + minhash_dedup + corpus_manifest (embed_neardup and
-    # doc_fingerprint were the last two out)
-    "token_count_bpe", "quality_score",
+    # c4_line_filter + minhash_dedup + corpus_manifest + corpus_datacard
+    # (embed_neardup, doc_fingerprint, token_count_bpe the last three out)
+    "quality_score",
     "quality_report", "reverse_links_resolved", "standoff_kfields",
     "standoff_afields", "a3_toc", "kpos_roundtrip_col", "incremental_hourly",
     "train_split", "sample_per_source", "context_chunks", "embed_neardup_lsh",
@@ -1008,7 +1044,7 @@ _DRIVER_WINDOW = [
     "quality_classifier",
     "pagerank", "boilerplate_blocks", "cross_snapshot_dedup", "stream_dedup",
     "classifier_train", "url_filter", "intra_line_dedup", "c4_line_filter",
-    "minhash_dedup", "corpus_manifest",
+    "minhash_dedup", "corpus_manifest", "corpus_datacard",
     # rows-only: never driver-checked sketches (weaker rows-count check)
     # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB
     # twin by design, agreement pytest-gated; VERDICT r3 #6)

@@ -108,6 +108,9 @@ EXPECT: dict[str, list[str]] = {
     # re-agg, which partial-combines map-side); scan prunes to (url, text)
     "c4_line_filter": ["partial_count",
                        "ReadSchema: struct<url:string,text:string>"],
+    # datacard rollup: grouping sets Expand BEFORE the map-side partial
+    # combine (the shuffle carries a few rows per set x partition)
+    "corpus_datacard": ["Expand", "partial_count", "partial_sum"],
 }
 
 
