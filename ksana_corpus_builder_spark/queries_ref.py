@@ -1933,6 +1933,148 @@ FROM reach
 """
 
 
+# ----------------- incremental (dump-N vs history) MinHash near-dup
+
+_XSM_OFF = 3_000_000  # new-dump id offset (distinct from _XS_OFF's space)
+_XSM_MIN = 8          # near-dup verdict: >= 8/16 signature slots agree
+
+
+def q_cross_snapshot_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL fuzzy dedup — the near-dup counterpart of
+    `cross_snapshot_dedup`: dedupe dump N against the history WITHOUT
+    re-clustering everything. The new dump is derived (every 5th history
+    doc, id + {off}, text + ' rev2 rev2' — a lightly-edited re-crawl, so
+    candidates are NEAR duplicates, not exact). Both sides get 16-slot
+    md5 MinHash signatures; the new dump's band keys probe the history's
+    band table; surviving candidates verify by signature agreement and
+    each new doc keeps its BEST match (max n_match, ties -> lowest old
+    id). Output: one row per new doc, matched old id (null if none),
+    n_match, is_neardup = n_match >= {mm}.
+
+    100 TB shape: the history band table is computed once and lives
+    partitioned by band key at rest; each incremental dump shuffles only
+    ITS OWN band rows to probe it (the asymmetric join — both sides big,
+    hash join on the band key, no broadcast). Signature folds are
+    shuffle-free; the best-match window partitions by new id."""
+    from pyspark.sql import Window
+    from .operators.dedup import (_md5_hash28, _minhash_fold,
+                                  _persist_bounded, shingle_array)
+    k, bands, rows_per_band = 16, 4, 4
+    old = load(spark, sf, "documents").select("doc_id", "text")
+    new = (old.where(F.col("doc_id") % 5 == 0)
+           .select((F.col("doc_id") + _XSM_OFF).alias("doc_id"),
+                   F.concat(F.col("text"),
+                            F.lit(" rev2 rev2")).alias("text")))
+
+    def sigs(df, slot):
+        sh = shingle_array(df, 3)
+        hashes = F.transform(F.col("shingles"), _md5_hash28)
+        return _persist_bounded(
+            slot, sh.where(F.size("shingles") > 0)
+            .select("doc_id", _minhash_fold(hashes, k).alias("sig")))
+
+    def banded(s, idname):
+        return s.select(
+            F.col("doc_id").alias(idname),
+            F.posexplode(F.array(*[
+                F.concat_ws(",", *[
+                    F.element_at("sig", band * rows_per_band + r + 1)
+                    .cast("string") for r in range(rows_per_band)
+                ]) for band in range(bands)
+            ])).alias("band", "bkey"))
+
+    so, sn = sigs(old, "xsm_old"), sigs(new, "xsm_new")
+    cand = (banded(sn, "new_id")
+            .join(banded(so, "old_id").withColumnRenamed("bkey", "obkey")
+                  .withColumnRenamed("band", "oband"),
+                  (F.col("bkey") == F.col("obkey"))
+                  & (F.col("band") == F.col("oband")))
+            .select("new_id", "old_id").dropDuplicates(["new_id", "old_id"]))
+    n_match = F.size(F.filter(
+        F.zip_with("sig_n", "sig_o", lambda x, y: x == y), lambda m: m))
+    scored = (cand
+              .join(sn.select(F.col("doc_id").alias("new_id"),
+                              F.col("sig").alias("sig_n")), "new_id")
+              .join(so.select(F.col("doc_id").alias("old_id"),
+                              F.col("sig").alias("sig_o")), "old_id")
+              .select("new_id", "old_id",
+                      n_match.cast("long").alias("n_match")))
+    best = (scored.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("new_id")
+            .orderBy(F.desc("n_match"), "old_id")))
+        .where(F.col("rn") == 1).drop("rn"))
+    return (new.select(F.col("doc_id").alias("new_id"))
+            .join(best, "new_id", "left")
+            .select("new_id", "old_id",
+                    F.coalesce("n_match", F.lit(0)).cast("long")
+                    .alias("n_match"),
+                    (F.coalesce("n_match", F.lit(0)) >= _XSM_MIN)
+                    .alias("is_neardup")))
+
+
+q_cross_snapshot_minhash.__doc__ = q_cross_snapshot_minhash.__doc__.format(
+    off=_XSM_OFF, mm=_XSM_MIN)
+
+
+def _cross_snapshot_minhash_sql() -> str:
+    from .operators.dedup import _P, _perm_constants
+    consts = _perm_constants(16)
+    al = "[" + ", ".join(str(a) for a, _ in consts) + "]"
+    bl = "[" + ", ".join(str(b) for _, b in consts) + "]"
+
+    def sig_stack(p, src):
+        return f"""
+{p}t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM {src}),
+{p}shd AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' ')))
+    ELSE []::VARCHAR[] END AS shingles
+  FROM {p}t),
+{p}hv AS (
+  SELECT doc_id,
+    list_transform(shingles, s -> {_MD5H28.format(s='s')}) AS hv
+  FROM {p}shd WHERE len(shingles) > 0),
+{p}sg AS (
+  SELECT doc_id,
+    list_transform(range(1, 17), j ->
+      list_min(list_transform(hv, h -> (({al})[j] * h + ({bl})[j]) % {_P})))
+      AS sig
+  FROM {p}hv),
+{p}bk AS (
+  SELECT doc_id, bi AS band,
+         array_to_string(sig[(bi * 4 + 1):(bi * 4 + 4)], ',') AS bkey
+  FROM {p}sg, unnest(range(0, 4)) AS u(bi))"""
+
+    return f"""
+WITH nd AS (SELECT doc_id + {_XSM_OFF} AS doc_id,
+              text || ' rev2 rev2' AS text
+            FROM documents WHERE doc_id % 5 = 0),
+{sig_stack('o', 'documents')},
+{sig_stack('n', 'nd')},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM nbk n JOIN obk o ON n.band = o.band AND n.bkey = o.bkey),
+m AS (
+  SELECT new_id, old_id,
+    len(list_filter(range(1, 17), j -> sn.sig[j] = so.sig[j]))::BIGINT
+      AS n_match
+  FROM cand JOIN nsg sn ON sn.doc_id = new_id
+            JOIN osg so ON so.doc_id = old_id),
+best AS (
+  SELECT new_id, old_id, n_match,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY n_match DESC, old_id) AS rn
+  FROM m)
+SELECT nd.doc_id AS new_id, best.old_id,
+       coalesce(best.n_match, 0)::BIGINT AS n_match,
+       (coalesce(best.n_match, 0) >= {_XSM_MIN}) AS is_neardup
+FROM nd LEFT JOIN best ON nd.doc_id = best.new_id AND best.rn = 1
+"""
+
+
 # ----------------- final corpus manifest (the shipped-training-set join)
 
 
@@ -2228,6 +2370,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_filter": q_c4_line_filter,
     "minhash_dedup": q_minhash_dedup,
     "corpus_manifest": q_corpus_manifest,
+    "cross_snapshot_minhash": q_cross_snapshot_minhash,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -2267,6 +2410,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "intra_line_dedup": _intra_line_dedup_sql(),
     "c4_line_filter": _c4_line_filter_sql(),
     "minhash_dedup": _minhash_dedup_sql(),
+    "cross_snapshot_minhash": _cross_snapshot_minhash_sql(),
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }
