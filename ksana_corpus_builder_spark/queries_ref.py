@@ -1933,6 +1933,58 @@ FROM reach
 """
 
 
+# ----------------- cross-document sequence packing (pretraining prep)
+
+_PACK_CAP = 256  # tokens per training sequence
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document SEQUENCE PACKING plan — the GPT-style pretraining
+    prep that concatenates documents in id order and splits every
+    {cap} tokens: each doc gets its global token offset (an EXCLUSIVE
+    prefix sum over per-doc token counts), the training sequence it
+    starts in (bin = offset div {cap}) and its position within that
+    sequence. Zero-token docs are excluded in both engines.
+
+    100 TB shape: the offset comes from the repo's 3-level super-chunked
+    hierarchical prefix sum (`operators/tpos.doc_offsets_hierarchical`,
+    gap=0) — every window chunk-bounded for the full int64 id range, no
+    single-task global sort anywhere; the oracle replays it as a plain
+    SQL window sum, which is exactly the equivalence the operator's own
+    tests pin."""
+    from .operators.tpos import doc_offsets_hierarchical
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    tok_rows = d.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok"))
+    offs = doc_offsets_hierarchical(tok_rows, gap=0)
+    counts = tok_rows.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    return (counts.join(offs, "doc_id")
+            .select("doc_id", "n_tok",
+                    F.col("tpos_offset").alias("seq_offset"),
+                    F.floor(F.col("tpos_offset") / _PACK_CAP).cast("long")
+                    .alias("bin"),
+                    (F.col("tpos_offset") % _PACK_CAP).alias("bin_pos")))
+
+
+q_pack_sequences.__doc__ = q_pack_sequences.__doc__.format(cap=_PACK_CAP)
+
+_SQL_PACK_SEQUENCES = f"""
+WITH c AS (SELECT doc_id, len({_DOC_TOKS})::BIGINT AS n_tok
+           FROM documents
+           WHERE len({_DOC_TOKS}) > 0),
+o AS (SELECT doc_id, n_tok,
+        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS seq_offset
+      FROM c)
+SELECT doc_id, n_tok, seq_offset,
+       (seq_offset // {_PACK_CAP})::BIGINT AS bin,
+       (seq_offset % {_PACK_CAP})::BIGINT AS bin_pos
+FROM o
+"""
+
+
 # ----------------- incremental (dump-N vs history) MinHash near-dup
 
 _XSM_OFF = 3_000_000  # new-dump id offset (distinct from _XS_OFF's space)
@@ -2371,6 +2423,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup": q_minhash_dedup,
     "corpus_manifest": q_corpus_manifest,
     "cross_snapshot_minhash": q_cross_snapshot_minhash,
+    "pack_sequences": q_pack_sequences,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -2411,6 +2464,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "c4_line_filter": _c4_line_filter_sql(),
     "minhash_dedup": _minhash_dedup_sql(),
     "cross_snapshot_minhash": _cross_snapshot_minhash_sql(),
+    "pack_sequences": _SQL_PACK_SEQUENCES,
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }

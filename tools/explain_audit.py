@@ -111,6 +111,9 @@ EXPECT: dict[str, list[str]] = {
     # datacard rollup: grouping sets Expand BEFORE the map-side partial
     # combine (the shuffle carries a few rows per set x partition)
     "corpus_datacard": ["Expand", "partial_count", "partial_sum"],
+    # sequence packing: the token-offset prefix sum must be CHUNK-bounded
+    # (window partitioned on [chunk...], never a single-task global sort)
+    "pack_sequences": ["Arguments: [chunk", "partial_count"],
 }
 
 
