@@ -160,3 +160,20 @@ def test_c4_line_filter_pandas_replay(spark):
         assert r.n_kept_lines == len(kept)
         assert r.page_keep == (len(kept) >= 3)
     assert any_punct_fail and any_words_fail  # both branches live
+
+
+def test_pack_sequences_gap_free_packing(spark):
+    """The packing is gap-free in doc-id order: each doc's offset equals
+    the previous offset plus its token count (exclusive prefix sum), and
+    bin/bin_pos are exactly the div/mod of the offset by the 256 cap."""
+    from ksana_corpus_builder_spark.queries_ref import (_PACK_CAP,
+                                                        q_pack_sequences)
+    rows = sorted(q_pack_sequences(spark, SF).collect(),
+                  key=lambda r: r.doc_id)
+    assert rows
+    expect = 0
+    for r in rows:
+        assert r.seq_offset == expect, (r.doc_id, r.seq_offset, expect)
+        assert r.bin == r.seq_offset // _PACK_CAP
+        assert r.bin_pos == r.seq_offset % _PACK_CAP
+        expect += r.n_tok
