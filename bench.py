@@ -54,7 +54,7 @@ HEADLINE = (
     "cross_snapshot_dedup", "stream_dedup", "classifier_train",
     "url_filter", "intra_line_dedup", "c4_line_filter", "minhash_dedup",
     "corpus_manifest", "corpus_datacard", "cross_snapshot_minhash",
-    "pack_sequences",
+    "pack_sequences", "bpe_pair_counts",
 )
 
 

@@ -1021,12 +1021,13 @@ ORACLE_SQL["corpus_datacard"] = _DATACARD_SQL_TEMPLATE.format(
 # the window: oracle-backed first, rows-only last, so every checked slot
 # is a full value-parity row where one exists.
 _DRIVER_WINDOW = [
-    # never driver-checked as of round 2 (oracle-backed); thirteen original
+    # never driver-checked as of round 2 (oracle-backed); fourteen original
     # members rotated out in round 4 (all D3-green in CORRECTNESS_r03) for
-    # the 25 round-4 additions (web-four, classifier_train, url_filter,
+    # the 26 round-4 additions (web-four, classifier_train, url_filter,
     # intra_line_dedup, c4_line_filter, minhash_dedup, corpus_manifest,
-    # corpus_datacard, cross_snapshot_minhash, pack_sequences, ...)
-    "reverse_links_resolved", "standoff_kfields",
+    # corpus_datacard, cross_snapshot_minhash, pack_sequences,
+    # bpe_pair_counts, ...)
+    "standoff_kfields",
     "standoff_afields", "a3_toc", "kpos_roundtrip_col", "incremental_hourly",
     "train_split", "sample_per_source", "context_chunks", "embed_neardup_lsh",
     "dedup_components", "media_base64",
@@ -1044,7 +1045,7 @@ _DRIVER_WINDOW = [
     "pagerank", "boilerplate_blocks", "cross_snapshot_dedup", "stream_dedup",
     "classifier_train", "url_filter", "intra_line_dedup", "c4_line_filter",
     "minhash_dedup", "corpus_manifest", "corpus_datacard",
-    "cross_snapshot_minhash", "pack_sequences",
+    "cross_snapshot_minhash", "pack_sequences", "bpe_pair_counts",
     # rows-only: never driver-checked sketches (weaker rows-count check)
     # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB
     # twin by design, agreement pytest-gated; VERDICT r3 #6)

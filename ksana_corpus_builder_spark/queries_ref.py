@@ -1933,6 +1933,63 @@ FROM reach
 """
 
 
+# ----------------- BPE tokenizer TRAINING: round-1 pair counting
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer TRAINING, round 1 of BPE (Sennrich et al. 2016): count
+    adjacent character pairs over the corpus word-frequency dictionary
+    and flag the argmax merge (ties -> lexicographically smallest pair).
+    This is the stage that actually dominates tokenizer training at
+    corpus scale; the inference-side counterpart (`token_count_bpe`)
+    already exists. Pair count = sum over distinct words of
+    word_freq * (occurrences of the pair inside the word) — exact
+    integers end to end.
+
+    100 TB shape: the word-frequency dict is the classic first shuffle
+    (map-side combining word count — the token stream never shuffles
+    raw); pairs then explode from the DICT (vocabulary-sized, orders of
+    magnitude smaller than the corpus) into one more map-side-combined
+    hash agg. The argmax is a single-row broadcast join, not a sort."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    words = (d.select(F.explode(toks).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("freq")))
+    chars = F.split(F.col("w"), "")
+    pairs_in_word = F.transform(
+        F.sequence(F.lit(1), F.size(chars) - 1),
+        lambda i: F.concat(F.element_at(chars, i),
+                           F.element_at(chars, i + F.lit(1))))
+    pair_rows = (words.where(F.length("w") >= 2)
+                 .select("freq", F.explode(pairs_in_word).alias("pair"))
+                 .groupBy("pair").agg(F.sum("freq").alias("cnt")))
+    # deterministic argmax: (max cnt) then (min pair at that cnt), both
+    # plain aggregates — no reliance on engine-specific max_by tie rules
+    mx = pair_rows.agg(F.max("cnt").alias("mx"))
+    top = (pair_rows.join(F.broadcast(mx), F.col("cnt") == F.col("mx"))
+           .agg(F.min("pair").alias("best_pair")))
+    return (pair_rows.join(F.broadcast(top))
+            .select("pair", "cnt",
+                    (F.col("pair") == F.col("best_pair")).alias("is_merge")))
+
+
+_SQL_BPE_PAIR_COUNTS = f"""
+WITH words AS (
+  SELECT u.w AS w, count(*)::BIGINT AS freq
+  FROM documents, unnest({_DOC_TOKS}) AS u(w)
+  GROUP BY u.w),
+pr AS (
+  SELECT w[i:i+1] AS pair, sum(freq)::BIGINT AS cnt
+  FROM words, unnest(range(1, length(w))) AS r(i)
+  WHERE length(w) >= 2
+  GROUP BY 1),
+top AS (SELECT min(pair) AS best_pair FROM pr
+        WHERE cnt = (SELECT max(cnt) FROM pr))
+SELECT pr.pair, pr.cnt, (pr.pair = top.best_pair) AS is_merge
+FROM pr, top
+"""
+
+
 # ----------------- cross-document sequence packing (pretraining prep)
 
 _PACK_CAP = 256  # tokens per training sequence
@@ -2424,6 +2481,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_manifest": q_corpus_manifest,
     "cross_snapshot_minhash": q_cross_snapshot_minhash,
     "pack_sequences": q_pack_sequences,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -2465,6 +2523,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "minhash_dedup": _minhash_dedup_sql(),
     "cross_snapshot_minhash": _cross_snapshot_minhash_sql(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
+    "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }

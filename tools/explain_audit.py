@@ -114,6 +114,10 @@ EXPECT: dict[str, list[str]] = {
     # sequence packing: the token-offset prefix sum must be CHUNK-bounded
     # (window partitioned on [chunk...], never a single-task global sort)
     "pack_sequences": ["Arguments: [chunk", "partial_count"],
+    # BPE round-1: word-dict and pair aggs both partial-combine map-side;
+    # the argmax merge reaches each pair row as a 1-row broadcast (no sort)
+    "bpe_pair_counts": ["partial_count", "partial_sum",
+                        "BroadcastNestedLoopJoin"],
 }
 
 
