@@ -124,10 +124,18 @@ def with_tpos(tokens: DataFrame, id_col: str = "doc_id",
     :func:`doc_offsets` (asserted equal in tests) with every window
     partitioned by chunk — no single-task global sort in any plan, at any
     doc count. The math is the same, so there is no small-scale special
-    case to diverge from."""
+    case to diverge from.
+
+    The offsets->tokens join is a PLAIN shuffle join, never a forced
+    broadcast: the offsets side is one row PER DOCUMENT, so at the
+    module's 10^12-doc design point a broadcast hint is executor-OOM by
+    construction (VERDICT r4 #1). Both sides are doc_id-keyed (bucketed
+    at rest -> Exchange-free SMJ); at small scale AQE's runtime
+    size-based conversion still broadcasts it — size-aware, not
+    hint-forced. Join mode is plan-asserted in tools/explain_audit.py."""
     offs = doc_offsets_hierarchical(tokens, id_col, gap)
     return (
-        tokens.join(F.broadcast(offs), id_col)
+        tokens.join(offs, id_col)
         .withColumn("tpos", F.col("tpos_offset") + F.col(pos_col))
         .drop("tpos_offset")
     )

@@ -766,7 +766,10 @@ def q_book_tpos_map(spark: SparkSession, sf: str) -> DataFrame:
     t = _doc_tokens(spark, sf).withColumn(
         "book", (F.col("doc_id") / 50).cast("long"))
     offs = doc_offsets_with_books(t)
-    wt = (t.join(F.broadcast(offs), ["book", "doc_id"])
+    # plain shuffle join, NOT broadcast: offs is one row per document —
+    # executor-OOM at the 10^12-doc design point if hint-forced; AQE
+    # still converts at runtime when genuinely small (VERDICT r4 #1)
+    wt = (t.join(offs, ["book", "doc_id"])
           .withColumn("tpos", F.col("tpos_offset") + F.col("pos")))
     return wt.groupBy("book").agg(
         F.countDistinct("doc_id").alias("n_docs"),

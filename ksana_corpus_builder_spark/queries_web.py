@@ -27,6 +27,7 @@ all-pairs, and the only broadcast is the O(1)-row scalar N.
 
 from __future__ import annotations
 
+import itertools
 import tempfile
 from collections.abc import Callable
 
@@ -37,14 +38,32 @@ from .sources.pages import STAGE_PATH as _PAGES_STAGE
 from .sources.pages import STREAM_DEDUP_PATH as _SD_STAGE
 from .sources.tables import load
 
+_STREAM_DEDUP_SEQ = itertools.count()  # unique memory-sink names per call
+
 # ------------------------------------------------------------- PageRank
 
-_PR_S = 1_000_000_000  # rank scale: r0 = S per node, BIGINT throughout
+_PR_S = 1_000_000_000  # rank-scale CAP: r0 = S per node, BIGINT throughout
 _PR_ITERS = 3
 # damping 0.85 as exact integer arithmetic: base = (15*S) div 100,
 # r' = base + (17 * inbound_mass) div 20 — floor division agrees between
 # Spark `div` and DuckDB `//` for the non-negative ranks here.
-_PR_BASE = (15 * _PR_S) // 100
+#
+# S is ADAPTIVE (VERDICT r4 #4): total mass converges to <= N*S, so the
+# ANSI-safe headroom bound is 17 * N * S < 2^63. S = the fixed cap
+# (unchanged values at every test scale) shrunk to 2^62 div (17*N) once
+# N grows past ~5.4e8 — at any N, 17*N*S <= 2^62 by construction, so the
+# damping product can never overflow. Same formula verbatim in both
+# engines (pure integer floor division).
+_PR_S_EXPR = (f"greatest(1, least({_PR_S}, "
+              f"{1 << 62} div (17 * n)))")
+_PR_S_SQL = (f"greatest(1, least({_PR_S}, "
+             f"{1 << 62} // (17 * n)))")
+
+
+def pr_scale(n: int) -> int:
+    """Python twin of _PR_S_EXPR / _PR_S_SQL (for the numpy replay tests:
+    three independent spellings of the same integer formula)."""
+    return max(1, min(_PR_S, (1 << 62) // (17 * n)))
 
 
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
@@ -60,25 +79,27 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     collect); each iteration is ONE shuffle — edges hash-partitioned by
     dst for the inbound-mass aggregation (map-side partial sums) + a join
     back to the node list; the edge table re-derives from the node scan so
-    nothing corpus-sized is cached between iterations. At 10^12 nodes the
-    BIGINT head-room bound is S * N < 2^63 / 17 — shrink S (or move the
-    sums to DECIMAL, the ivf_kmeans pattern) past ~5 * 10^8 nodes."""
+    nothing corpus-sized is cached between iterations. The rank scale S
+    is ADAPTIVE in N (see _PR_S_EXPR): 17 * N * S <= 2^62 by
+    construction, so the BIGINT damping product is ANSI-safe at ANY node
+    count — pytest-pinned at an N where the old fixed scale throws."""
     d = load(spark, sf, "documents").select("doc_id")
     n = d.agg(F.count("*").alias("n"))
-    dn = d.crossJoin(F.broadcast(n))
+    dn = (d.crossJoin(F.broadcast(n))
+          .withColumn("s", F.expr(_PR_S_EXPR)))
     edges = (dn.select(F.col("doc_id").alias("src"),
                        ((F.col("doc_id") * 73 + 11) % F.col("n")).alias("dst"))
              .unionAll(dn.select(
                  F.col("doc_id").alias("src"),
                  ((F.col("doc_id") * 131 + 29) % F.col("n")).alias("dst"))))
-    r = d.select("doc_id", F.lit(_PR_S).cast("long").alias("pr"))
+    r = dn.select("doc_id", F.col("s").cast("long").alias("pr"))
     for _ in range(_PR_ITERS):
         inbound = (edges.join(r, edges.src == r.doc_id)
                    .select("dst", F.expr("pr div 2").alias("c"))
                    .groupBy("dst").agg(F.sum("c").alias("m")))
-        r = (d.join(inbound, d.doc_id == inbound.dst, "left")
-             .select(d.doc_id,
-                     (F.lit(_PR_BASE)
+        r = (dn.join(inbound, dn.doc_id == inbound.dst, "left")
+             .select(dn.doc_id,
+                     (F.expr("(15 * s) div 100")
                       + F.expr("(17 * coalesce(m, 0)) div 20"))
                      .cast("long").alias("pr")))
     return r
@@ -92,16 +113,19 @@ def _pagerank_sql() -> str:
 m{k} AS (SELECT e.dst, sum({prev}.pr // 2) AS m
          FROM e JOIN {prev} ON e.src = {prev}.doc_id GROUP BY e.dst),
 r{k} AS (SELECT d.doc_id,
-           ({_PR_BASE} + (17 * coalesce(m{k}.m, 0)) // 20)::BIGINT AS pr
-         FROM documents d LEFT JOIN m{k} ON d.doc_id = m{k}.dst)""")
+           ((15 * sc.s) // 100
+            + (17 * coalesce(m{k}.m, 0)) // 20)::BIGINT AS pr
+         FROM documents d CROSS JOIN sc
+         LEFT JOIN m{k} ON d.doc_id = m{k}.dst)""")
         prev = f"r{k}"
     return f"""
 WITH n AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT {_PR_S_SQL} AS s FROM n),
 e AS (SELECT doc_id AS src, (doc_id * 73 + 11) % n.n AS dst
         FROM documents, n
       UNION ALL
       SELECT doc_id, (doc_id * 131 + 29) % n.n FROM documents, n),
-r0 AS (SELECT doc_id, {_PR_S}::BIGINT AS pr FROM documents),
+r0 AS (SELECT doc_id, sc.s::BIGINT AS pr FROM documents, sc),
 {",".join(steps)}
 SELECT doc_id, pr FROM {prev}
 """
@@ -234,7 +258,9 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
               .option("maxFilesPerTrigger", "1").parquet(staged))
     res = (stream.select(F.md5(F.col("text").cast("binary")).alias("h"))
            .dropDuplicates(["h"]))
-    name = f"stream_dedup_{abs(hash(staged)) % 10**8}"
+    # per-call counter, not hash(staged): two invocations in one session
+    # must not collide on the active streaming query name (ADVICE r4 #4)
+    name = f"stream_dedup_{next(_STREAM_DEDUP_SEQ)}"
     with tempfile.TemporaryDirectory() as ckpt:
         q = (res.writeStream.format("memory").queryName(name)
              .outputMode("append")

@@ -161,11 +161,33 @@ def stage_stream_dedup() -> str:
     Pure pandas + pyarrow (no SparkSession) so the Spark query and the
     DuckDB-oracle pre-seed in __spark_entry__ share it verbatim; content is
     a pure function of the seed, and a stale dir is validated by row count
-    and rewritten, never trusted (the stage_pages ADVICE-r3 discipline)."""
+    AND a content fingerprint — two sentinel rows regenerated and compared
+    byte-for-byte, so a cardinality-preserving generator/seed drift is
+    rewritten, never silently reused by both engines (ADVICE r4 #2)."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    def _sentinels_match() -> bool:
+        try:
+            p0 = pq.read_table(
+                os.path.join(STREAM_DEDUP_PATH, "part-00000.parquet"),
+                columns=["url", "text"]).to_pandas()
+            p1 = pq.read_table(
+                os.path.join(STREAM_DEDUP_PATH, "part-00001.parquet"),
+                columns=["url", "text"]).to_pandas()
+        except Exception:  # unreadable/renamed parts -> restage
+            return False
+        exp0 = make_pages_pdf(1, seed=42, start_id=0)
+        last_re = ((STAGE_N - 1) // STREAM_DEDUP_RECRAWL_STEP
+                   ) * STREAM_DEDUP_RECRAWL_STEP
+        exp1 = make_pages_pdf(1, seed=42, start_id=last_re)
+        return (len(p0) > 0 and len(p1) > 0
+                and p0.iloc[0]["url"] == exp0["url"][0]
+                and p0.iloc[0]["text"] == exp0["text"][0]
+                and p1.iloc[-1]["url"] == exp1["url"][0]
+                and p1.iloc[-1]["text"] == exp1["text"][0])
 
     if os.path.isdir(STREAM_DEDUP_PATH):
         parts = [os.path.join(STREAM_DEDUP_PATH, f)
@@ -173,7 +195,7 @@ def stage_stream_dedup() -> str:
                  if f.endswith(".parquet")]
         if parts:
             n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
-            if n == STREAM_DEDUP_N and len(parts) >= 2:
+            if n == STREAM_DEDUP_N and len(parts) >= 2 and _sentinels_match():
                 return STREAM_DEDUP_PATH
             for p in parts:
                 os.remove(p)

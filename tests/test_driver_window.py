@@ -25,10 +25,17 @@ WINDOW = list(QS)[:50]
 
 
 def _past_driver_rows() -> set[str]:
+    """Names with a GREEN past driver row: rows_match must be true and the
+    row's err must be absent or the by-design 'no_oracle' — a query that
+    FAILED in a past round does not count as covered and cannot rotate out
+    of the window (ADVICE r4 #1)."""
     seen: set[str] = set()
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         with open(path) as f:
-            seen |= set(json.load(f))
+            for name, row in json.load(f).items():
+                if (row.get("rows_match") is True
+                        and row.get("err") in (None, "no_oracle")):
+                    seen.add(name)
     return seen
 
 

@@ -21,14 +21,16 @@ def test_pagerank_matches_numpy_replay(spark):
     out = {r.doc_id: r.pr for r in qw.q_pagerank(spark, SF).collect()}
     n = len(out)
     assert n > 0
-    r = np.full(n, qw._PR_S, dtype=np.int64)
+    s = qw.pr_scale(n)
+    assert s == qw._PR_S  # test-scale N keeps the full cap (values stable)
+    r = np.full(n, s, dtype=np.int64)
     src = np.arange(n, dtype=np.int64)
     dsts = [(src * 73 + 11) % n, (src * 131 + 29) % n]
     for _ in range(qw._PR_ITERS):
         inbound = np.zeros(n, dtype=np.int64)
         for dst in dsts:
             np.add.at(inbound, dst, r // 2)
-        r = qw._PR_BASE + (17 * inbound) // 20
+        r = (15 * s) // 100 + (17 * inbound) // 20
     for i in range(n):
         assert out[i] == r[i], (i, out[i], r[i])
 
@@ -37,8 +39,38 @@ def test_pagerank_mass_bounds(spark):
     """Every rank >= the damping base; floor division only loses mass, so
     total mass never exceeds N * S."""
     rows = qw.q_pagerank(spark, SF).collect()
-    assert all(r.pr >= qw._PR_BASE for r in rows)
+    base = (15 * qw.pr_scale(len(rows))) // 100
+    assert all(r.pr >= base for r in rows)
     assert sum(r.pr for r in rows) <= len(rows) * qw._PR_S
+
+
+def test_pagerank_scale_adapts_past_int64_headroom(spark):
+    """VERDICT r4 #4: at N = 2e9 nodes the OLD fixed scale overflows the
+    17 * inbound-mass product under ANSI (throws); the adaptive scale
+    keeps 17 * N * S <= 2^62 at ANY N, evaluated here on the worst-case
+    mass bound in Spark itself."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    big_n = 2_000_000_000
+    # cast matters: the real query's n comes from count() (already long);
+    # a bare lit(2e9) is int32 and 17*n would overflow INT before the
+    # long math under test even runs
+    df = spark.range(1).select(F.lit(big_n).cast("long").alias("n"))
+    # worst-case damping product: 17 * (N*S div 2) >= 17 * max inbound mass
+    adaptive = df.select(F.expr(
+        f"17 * ((n * ({qw._PR_S_EXPR})) div 2)").alias("x")).collect()
+    assert adaptive[0].x == 17 * ((big_n * qw.pr_scale(big_n)) // 2)
+    with pytest.raises(Exception, match="(?i)overflow|ARITHMETIC"):
+        df.select(F.expr(
+            f"17 * ((n * {qw._PR_S}) div 2)").alias("x")).collect()
+    # the formula agrees across all three spellings at the boundary
+    for n in (1, 500, 5 * 10**8, 10**9, 10**12):
+        got = spark.range(1).select(
+            F.lit(n).cast("long").alias("n")).select(
+            F.expr(qw._PR_S_EXPR).alias("s")).collect()[0].s
+        assert got == qw.pr_scale(n)
+        assert 17 * n * qw.pr_scale(n) <= 1 << 62 or qw.pr_scale(n) == 1
 
 
 def test_boilerplate_blocks_pandas_replay(spark):
@@ -51,7 +83,9 @@ def test_boilerplate_blocks_pandas_replay(spark):
     pdf = pd.read_parquet(staged, columns=["url", "html"])
     got = {r.url: r for r in qw.q_boilerplate_blocks(spark, SF).collect()}
     assert len(got) == len(pdf)
-    pat = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+    # no re.DOTALL: both engines' '.' excludes newlines, and the replay
+    # must match the engines' regex semantics, not extend them (ADVICE r4)
+    pat = re.compile(r"<p>(.*?)</p>")
     for url, html in zip(pdf["url"], pdf["html"]):
         blocks = pat.findall(bytes(html).decode("utf-8"))
         kept = [b for b in blocks if len(b) >= qw._BB_MIN_CHARS]
@@ -177,3 +211,75 @@ def test_pack_sequences_gap_free_packing(spark):
         assert r.bin == r.seq_offset // _PACK_CAP
         assert r.bin_pos == r.seq_offset % _PACK_CAP
         expect += r.n_tok
+
+
+def test_pack_tokens_reconstructs_corpus_stream(spark):
+    """Concatenating the materialized bins in bin order reproduces the
+    corpus token stream EXACTLY (docs in id order, tokens in order) — and
+    because the packing is gap-free, every bin except the last holds
+    exactly the 256-token cap."""
+    from ksana_corpus_builder_spark.queries_ref import _PACK_CAP, q_pack_tokens
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    stream = []
+    for _, row in d.sort_values("doc_id").iterrows():
+        stream.extend(t for t in row["text"].split(" ") if t)
+    rows = sorted(q_pack_tokens(spark, SF).collect(), key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(range(len(rows)))
+    got = []
+    for r in rows[:-1]:
+        assert r.n_tok == _PACK_CAP
+        got.extend(r.tokens_str.split(" "))
+    assert rows[-1].n_tok == len(rows[-1].tokens_str.split(" ")) <= _PACK_CAP
+    got.extend(rows[-1].tokens_str.split(" "))
+    assert got == stream
+
+
+def _bpe_replay(word_freq: dict[str, int], iters: int):
+    """Pure-python BPE trainer (Sennrich et al. 2016 §3): greedy
+    left-to-right non-overlapping merge application — independent of both
+    engines' string machinery."""
+    words = {w: [list(w), f] for w, f in word_freq.items()}
+    trace = []
+    for it in range(1, iters + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        mx = max(counts.values())
+        best = min(p for p, c in counts.items() if c == mx)
+        trace.append((it, dict(counts), best))
+        for entry in words.values():
+            syms = entry[0]
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            entry[0] = out
+    return trace
+
+
+def test_bpe_merges_python_replay(spark):
+    """The distributed iterated BPE trainer equals a pure-python replay:
+    same pair counts, same argmax merge, same post-merge recounts, every
+    iteration."""
+    from collections import Counter
+
+    from ksana_corpus_builder_spark.queries_ref import (_BPE_MERGE_ITERS,
+                                                        q_bpe_merges)
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    wf = Counter(t for txt in d["text"] for t in txt.split(" ") if t)
+    trace = _bpe_replay(dict(wf), _BPE_MERGE_ITERS)
+    got = {}
+    for r in q_bpe_merges(spark, SF).collect():
+        got.setdefault(r.iter, {})[tuple(r.pair.split(" "))] = (
+            r.cnt, r.is_merge)
+    assert set(got) == set(range(1, _BPE_MERGE_ITERS + 1))
+    for it, counts, best in trace:
+        assert {p: c for p, (c, _) in got[it].items()} == counts, it
+        merged = [p for p, (_, m) in got[it].items() if m]
+        assert merged == [best], (it, merged, best)

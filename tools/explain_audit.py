@@ -60,11 +60,12 @@ EXPECT: dict[str, list[str]] = {
     "repetition_ngrams": ["partial_count", "partial_max"],
     "tfidf_topk": ["BroadcastHashJoin", "partial_count"],
     "host_stats": ["partial_count", "partial_sum"],
-    # round 4: the line-frequency boilerplate set and the benchmark gram /
-    # DSIR ratio / domain quota side tables must BROADCAST back to the
-    # corpus stream (no corpus-sized shuffle for the tag join), and the
-    # window aggs must partial-combine map-side where they exist
-    "line_dedup": ["BroadcastHashJoin", "partial_count"],
+    # round 4: the benchmark gram / DSIR ratio / domain quota side tables
+    # must BROADCAST back to the corpus stream (no corpus-sized shuffle
+    # for the tag join), and the window aggs must partial-combine map-side
+    # where they exist. line_dedup (round 5) tags via a 16-byte md5 hash
+    # key with NO broadcast hint — size-aware only (see EXPECT_NOHINT).
+    "line_dedup": ["Join type: LeftOuter", "partial_count", "unhex(md5("],
     "decontaminate": ["BroadcastHashJoin", "partial_count"],
     "dsir_weights": ["BroadcastHashJoin", "partial_sum"],
     "domain_mix": ["BroadcastHashJoin", "Window", "partial_count"],
@@ -120,6 +121,21 @@ EXPECT: dict[str, list[str]] = {
                         "BroadcastNestedLoopJoin"],
 }
 
+# Round 5 (VERDICT r4 #1/#3): the doc-dim offsets->tokens join and the
+# line_dedup boilerplate tag join must be size-AWARE, never hint-FORCED.
+# Observable: re-planned with spark.sql.autoBroadcastJoinThreshold=-1
+# (simulating a too-big build side at 100 TB) the join DEMOTES to
+# SortMergeJoin — a F.broadcast() hint would keep it BroadcastHashJoin.
+# The chunk-dim totals joins inside the hierarchical prefix sum stay
+# hinted by design (bounded at n_docs / 2^20 rows), so those plans still
+# show BroadcastHashJoin alongside the demoted offsets join.
+EXPECT_NOHINT: dict[str, list[str]] = {
+    "posting_stats": ["SortMergeJoin", "BroadcastHashJoin"],
+    "book_tpos_map": ["SortMergeJoin", "BroadcastHashJoin"],
+    "pack_sequences": ["SortMergeJoin", "BroadcastHashJoin"],
+    "line_dedup": ["SortMergeJoin"],
+}
+
 
 def plan_of(name: str, spark) -> str:
     df = QUERIES[name](spark, SF)
@@ -149,6 +165,24 @@ def main() -> int:
                 failures.append(f"{name}: missing `{prop}`")
             checks.append(f"- {'OK' if ok else 'MISSING'}: `{prop}`")
         sections += [f"## {name}", "", *checks, "", "```", plan.strip(), "```", ""]
+    # hint-vs-stats probe: with broadcast planning disabled, size-aware
+    # joins demote to SMJ; hint-forced ones would not (VERDICT r4 #1/#3)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in EXPECT_NOHINT:
+            plan = plan_of(name, spark)
+            checks = []
+            for prop in EXPECT_NOHINT[name]:
+                ok = prop in plan
+                if not ok:
+                    failures.append(f"{name} [noBroadcast]: missing `{prop}`")
+                checks.append(f"- {'OK' if ok else 'MISSING'}: `{prop}`")
+            sections += [
+                f"## {name} (autoBroadcastJoinThreshold=-1 — join-mode "
+                "proof: size-aware, not hint-forced)", "", *checks, "",
+                "```", plan.strip(), "```", ""]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(sections))
     if failures:
