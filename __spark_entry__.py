@@ -41,14 +41,27 @@ def _ensure_staged_pages() -> None:
     from ksana_corpus_builder_spark.sources.pages import (STAGE_N,
                                                           STAGE_PATH,
                                                           make_pages_pdf)
+    def _sentinel_ok(parts: list[str]) -> bool:
+        # content fingerprint, not just cardinality (the ADVICE r4 #2
+        # discipline): regenerate one sentinel row and compare — a
+        # cardinality-preserving generator/seed drift must be restaged
+        try:
+            first = min(parts)
+            p0 = pq.read_table(first, columns=["url", "text"]).to_pandas()
+        except Exception:
+            return False
+        exp = make_pages_pdf(1, seed=42)
+        return (len(p0) > 0 and p0.iloc[0]["url"] == exp["url"][0]
+                and p0.iloc[0]["text"] == exp["text"][0])
+
     if os.path.isdir(STAGE_PATH):
         parts = [os.path.join(STAGE_PATH, f) for f in os.listdir(STAGE_PATH)
                  if f.endswith(".parquet")]
         if parts:
-            # validate the staged cardinality (footer-only read) — a stale
-            # dir from an older layout is rewritten, not trusted (ADVICE r3)
+            # validate cardinality (footer-only read) AND a content
+            # sentinel — a stale dir is rewritten, not trusted
             n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
-            if n == STAGE_N:
+            if n == STAGE_N and _sentinel_ok(parts):
                 return
             for p in parts:
                 os.remove(p)

@@ -2033,6 +2033,20 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     replace. Raw tokens never shuffle again; the unrolled-CTE DuckDB twin
     replays every iteration bit-for-bit (the pagerank/classifier_train
     oracle pattern)."""
+    out, _ = _bpe_train(spark, sf)
+    d_col = F.call_function("replace", F.col("pair"),
+                            F.lit(_BPE_R + _BPE_L), F.lit(" "))
+    return (out.withColumn("d", d_col)
+            .select("iter",
+                    F.col("d").substr(F.lit(2), F.length("d") - F.lit(2))
+                    .alias("pair"),
+                    "cnt", "is_merge"))
+
+
+def _bpe_train(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE training loop: returns (trace, words_after_merges) —
+    trace has one row per (iter, pair) with count + is_merge; words is the
+    dictionary in sentinel-wrapped symbol form after all merges applied."""
     d = load(spark, sf, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     words = (d.select(F.explode(toks).alias("w"))
@@ -2069,21 +2083,38 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
                      F.call_function("replace", F.col("best"),
                                      F.lit(_BPE_R + _BPE_L), F.lit("")))
                      .alias("ws"), "freq"))
-    d_col = F.call_function("replace", F.col("pair"),
-                            F.lit(_BPE_R + _BPE_L), F.lit(" "))
-    return (out.withColumn("d", d_col)
-            .select("iter",
-                    F.col("d").substr(F.lit(2), F.length("d") - F.lit(2))
-                    .alias("pair"),
-                    "cnt", "is_merge"))
+    return out, words
+
+
+def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """The tokenizer ARTIFACT the training loop exists to produce: the
+    subword vocabulary after the {iters} learned merges are applied to
+    the whole word dictionary — per symbol, its corpus frequency (sum of
+    word frequencies weighted by in-word occurrences) and the number of
+    distinct dictionary words it appears in. This is the encode-side
+    table a deployment ships; `token_count_bpe` is its inference twin.
+
+    100 TB shape: identical to `bpe_merges` (one corpus shuffle for the
+    word dict, vocabulary-sized work after), plus one final explode +
+    map-side-combined agg over the merged dict."""
+    _, words = _bpe_train(spark, sf)
+    syms = F.split(F.expr("substring(ws, 2, length(ws) - 2)"),
+                   _BPE_R + _BPE_L)
+    return (words.select("ws", "freq", F.explode(syms).alias("token"))
+            .groupBy("token")
+            .agg(F.sum("freq").alias("freq"),
+                 F.countDistinct("ws").alias("n_words")))
 
 
 q_bpe_merges.__doc__ = q_bpe_merges.__doc__.format(iters=_BPE_MERGE_ITERS)
+q_bpe_vocab.__doc__ = q_bpe_vocab.__doc__.format(iters=_BPE_MERGE_ITERS)
 
 
-def _bpe_merges_sql() -> str:
+def _bpe_cte_stack() -> tuple[str, str]:
+    """The unrolled training CTE stack shared by the two BPE twins:
+    returns (cte_body, final_words_cte_name)."""
     l_, r_ = _BPE_L, _BPE_R
-    steps, outs, prev = [], [], "w0"
+    steps, prev = [], "w0"
     for k in range(1, _BPE_MERGE_ITERS + 1):
         steps.append(f"""
 sy{k} AS (SELECT freq, string_split(ws[2:length(ws)-1], '{r_}{l_}') AS ss
@@ -2098,22 +2129,43 @@ o{k} AS (SELECT {k} AS iter, pair, cnt, pair = best AS is_merge
          FROM pr{k}, b{k}),
 w{k} AS (SELECT replace(ws, best, replace(best, '{r_}{l_}', '')) AS ws, freq
          FROM {prev}, b{k})""")
-        outs.append(f"SELECT * FROM o{k}")
         prev = f"w{k}"
-    union = " UNION ALL ".join(outs)
-    return f"""
-WITH w0 AS (
+    body = f"""w0 AS (
   SELECT regexp_replace(u.w, '(.)', '{l_}\\1{r_}', 'g') AS ws,
          count(*)::BIGINT AS freq
   FROM documents, unnest({_DOC_TOKS}) AS u(w)
   WHERE strpos(u.w, '{l_}') = 0 AND strpos(u.w, '{r_}') = 0
   GROUP BY 1),
-{",".join(steps)},
+{",".join(steps)}"""
+    return body, prev
+
+
+def _bpe_merges_sql() -> str:
+    l_, r_ = _BPE_L, _BPE_R
+    body, _ = _bpe_cte_stack()
+    union = " UNION ALL ".join(
+        f"SELECT * FROM o{k}" for k in range(1, _BPE_MERGE_ITERS + 1))
+    return f"""
+WITH {body},
 uu AS ({union}),
 dd AS (SELECT iter, replace(pair, '{r_}{l_}', ' ') AS d, cnt, is_merge
        FROM uu)
 SELECT iter, d[2:length(d)-1] AS pair, cnt, is_merge
 FROM dd
+"""
+
+
+def _bpe_vocab_sql() -> str:
+    l_, r_ = _BPE_L, _BPE_R
+    body, final = _bpe_cte_stack()
+    return f"""
+WITH {body},
+sy AS (SELECT ws, freq, string_split(ws[2:length(ws)-1], '{r_}{l_}') AS ss
+       FROM {final})
+SELECT u.s AS token, sum(freq)::BIGINT AS freq,
+       count(DISTINCT ws)::BIGINT AS n_words
+FROM sy, unnest(ss) AS u(s)
+GROUP BY 1
 """
 
 
@@ -2663,6 +2715,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
+    "bpe_vocab": q_bpe_vocab,
     "pack_tokens": q_pack_tokens,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
@@ -2707,6 +2760,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "pack_sequences": _SQL_PACK_SEQUENCES,
     "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
     "bpe_merges": _bpe_merges_sql(),
+    "bpe_vocab": _bpe_vocab_sql(),
     "pack_tokens": _SQL_PACK_TOKENS,
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated

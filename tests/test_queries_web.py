@@ -260,7 +260,7 @@ def _bpe_replay(word_freq: dict[str, int], iters: int):
                     out.append(syms[i])
                     i += 1
             entry[0] = out
-    return trace
+    return trace, words
 
 
 def test_bpe_merges_python_replay(spark):
@@ -273,7 +273,7 @@ def test_bpe_merges_python_replay(spark):
                                                         q_bpe_merges)
     d = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
     wf = Counter(t for txt in d["text"] for t in txt.split(" ") if t)
-    trace = _bpe_replay(dict(wf), _BPE_MERGE_ITERS)
+    trace, _ = _bpe_replay(dict(wf), _BPE_MERGE_ITERS)
     got = {}
     for r in q_bpe_merges(spark, SF).collect():
         got.setdefault(r.iter, {})[tuple(r.pair.split(" "))] = (
@@ -283,3 +283,26 @@ def test_bpe_merges_python_replay(spark):
         assert {p: c for p, (c, _) in got[it].items()} == counts, it
         merged = [p for p, (_, m) in got[it].items() if m]
         assert merged == [best], (it, merged, best)
+
+
+def test_bpe_vocab_python_replay(spark):
+    """The post-merge vocabulary equals the replay's final word states:
+    per symbol, occurrence-weighted corpus frequency and the number of
+    distinct dictionary words containing it."""
+    from collections import Counter
+
+    from ksana_corpus_builder_spark.queries_ref import (_BPE_MERGE_ITERS,
+                                                        q_bpe_vocab)
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    wf = Counter(t for txt in d["text"] for t in txt.split(" ") if t)
+    _, words = _bpe_replay(dict(wf), _BPE_MERGE_ITERS)
+    freq: dict[str, int] = {}
+    n_words: dict[str, int] = {}
+    for syms, f in words.values():
+        for s in syms:
+            freq[s] = freq.get(s, 0) + f
+        for s in set(syms):
+            n_words[s] = n_words.get(s, 0) + 1
+    rows = q_bpe_vocab(spark, SF).collect()
+    assert {r.token: r.freq for r in rows} == freq
+    assert {r.token: r.n_words for r in rows} == n_words
