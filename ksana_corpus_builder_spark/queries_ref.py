@@ -2054,7 +2054,11 @@ def _bpe_train(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
                     & ~F.col("w").contains(_BPE_R))
              .groupBy("w").agg(F.count("*").alias("freq"))
              .select(F.regexp_replace(
-                 "w", "(.)", _BPE_L + "$1" + _BPE_R).alias("ws"), "freq"))
+                 "w", "(.)", _BPE_L + "$1" + _BPE_R).alias("ws"), "freq")
+             # ONE corpus-sized aggregation total: the dict materializes
+             # here (vocab-sized) and every iteration reads it, never the
+             # token stream again
+             .localCheckpoint())
     out = None
     for it in range(1, _BPE_MERGE_ITERS + 1):
         syms = F.split(F.expr("substring(ws, 2, length(ws) - 2)"),
@@ -2070,6 +2074,11 @@ def _bpe_train(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
                 F.lit(_BPE_R)))
         pr = (wsyms.select("freq", F.explode(pairs).alias("pair"))
               .groupBy("pair").agg(F.sum("freq").alias("cnt")))
+        # vocab-sized materialization (the dedup_components lineage
+        # discipline): pr is referenced by mx/best/trace and feeds the
+        # next iteration's dict — without truncation each reference
+        # replays the whole prior-iteration stack (~3^k branches)
+        pr = pr.localCheckpoint()
         mx = pr.agg(F.max("cnt").alias("mx"))
         best = (pr.join(F.broadcast(mx), F.col("cnt") == F.col("mx"))
                 .agg(F.min("pair").alias("best")))
@@ -2082,7 +2091,8 @@ def _bpe_train(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
                      "replace", F.col("ws"), F.col("best"),
                      F.call_function("replace", F.col("best"),
                                      F.lit(_BPE_R + _BPE_L), F.lit("")))
-                     .alias("ws"), "freq"))
+                     .alias("ws"), "freq")
+                 .localCheckpoint())
     return out, words
 
 
