@@ -21,13 +21,24 @@ module is the batch acceleration:
   contents; every DISTINCT content still goes through the REAL parser
   (dedupe-then-parse), repeats are dictionary hits.
 
-Fallback triggers (either parser):
+Fallback triggers:
 - ``<`` anywhere — could open markup, only the tag scanner decides;
-- ``\\r`` or a BOM — the parsers CRLF/BOM-normalize before scanning;
 - a whitespace-only NONEMPTY line (e.g. ``"  "``) — the parsers'
   leading-newline skip (kcount==0) and trailing-blank pop
   (``strip()==\"\"``) treat these differently from empty lines, and the
-  closed-form algebra intentionally does not model that branch.
+  closed-form algebra intentionally does not model that branch;
+- a BOM — parse_pre's ``lstrip("\\ufeff")`` fires only at CONTENT start,
+  which the injected ``<pb/>`` prefix occupies, so a doc-leading BOM is
+  ordinary text to the parser and the algebra does not model it; for tei
+  additionally ``\\r`` (see below).
+
+``\\r`` is a fallback only for TEI: parse_pre's ``\\r\\n?->\\n`` rewrite
+commutes with the injected prefix, so pre_lines_batch normalizes CRLF/CR
+VECTORIZED up front and those docs take the fast path (real web text is
+CRLF-heavy — this was the widest residual per-doc-parser class). The tei
+builder splits the RAW text on ``\\n`` before injecting ``<lb/>`` markers,
+so a ``\\r`` becomes a newline INSIDE an lb section only after injection —
+pre-normalizing would change which sections exist; tei keeps the fallback.
 
 Everything here is pandas C-level (split/explode/groupby) — no per-row
 Python on the fast path.
@@ -46,12 +57,15 @@ from .teiparse import parse_tei
 
 # any of: markup opener, carriage return, BOM, whitespace-only nonempty line
 _FALLBACK_RE = re.compile(r"[<\r﻿]|^[^\S\n]+$", re.M)
+# pre-format after vectorized CRLF normalization: \r is no longer a trigger
+_PRE_FALLBACK_RE = re.compile(r"[<﻿]|^[^\S\n]+$", re.M)
 
 
-def _split_fast_slow(doc_ids: pd.Series, texts: pd.Series):
+def _split_fast_slow(doc_ids: pd.Series, texts: pd.Series,
+                     pattern: re.Pattern = _FALLBACK_RE):
     t = texts.fillna("").reset_index(drop=True)
     ids = doc_ids.reset_index(drop=True)
-    slow = t.str.contains(_FALLBACK_RE)
+    slow = t.str.contains(pattern)
     return ids, t, slow
 
 
@@ -81,8 +95,15 @@ def pre_lines_batch(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
     - after rstrip the final split element is nonempty, so the
       finalize-pop of trailing blanks (romable.js:131-148) is a no-op;
     - a document with no nonempty line emits no texts at all.
+
+    CRLF/CR normalize happens VECTORIZED before fast/slow classification
+    (parse_pre's own ``\\r\\n?->\\n`` commutes with the injected prefix and
+    is idempotent, so the slow path seeing normalized text is identical) —
+    CRLF-only web documents stay on the batch path.
     """
-    ids, t, slow = _split_fast_slow(doc_ids, texts)
+    t0 = (texts.fillna("").str.replace("\r\n", "\n", regex=False)
+          .str.replace("\r", "\n", regex=False))
+    ids, t, slow = _split_fast_slow(doc_ids, t0, _PRE_FALLBACK_RE)
 
     parts = [_EMPTY_LINES]
     if (~slow).any():

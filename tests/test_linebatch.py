@@ -117,3 +117,19 @@ def test_fast_path_actually_fast():
     hit the fallback — otherwise the acceleration silently evaporates."""
     s = pd.Series(["alpha beta\ngamma\n\ndelta", "one two three"] * 50)
     assert not s.str.contains(_FALLBACK_RE).any()
+
+
+def test_pre_crlf_docs_take_fast_path():
+    """Round-5 widening: CRLF/CR-only docs are vectorized-normalized and
+    classified FAST for the pre builder (still slow for tei, whose raw
+    split does not commute with normalization)."""
+    from ksana_corpus_builder_spark.functions.linebatch import (
+        _PRE_FALLBACK_RE)
+    s = pd.Series(["crlf\r\nline\rmac"], dtype="object")
+    norm = (s.str.replace("\r\n", "\n", regex=False)
+            .str.replace("\r", "\n", regex=False))
+    assert not norm.str.contains(_PRE_FALLBACK_RE).any()  # fast for pre
+    assert s.str.contains(_FALLBACK_RE).any()             # slow for tei
+    # and the fast result is still byte-identical to the real parser
+    ids = pd.Series([0], dtype="int64")
+    assert _canon(pre_lines_batch(ids, s)) == _canon(_pre_lines_slow(ids, s))
