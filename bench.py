@@ -55,8 +55,8 @@ HEADLINE = (
     "url_filter", "intra_line_dedup", "c4_line_filter", "minhash_dedup",
     "corpus_manifest", "corpus_datacard", "cross_snapshot_minhash",
     "pack_sequences", "bpe_pair_counts",
-    # round-5 additions (suite 73 -> 76 incl. the flagship)
-    "bpe_merges", "bpe_vocab", "pack_tokens",
+    # round-5 additions (suite 73 -> 77 incl. the flagship)
+    "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
 )
 
 

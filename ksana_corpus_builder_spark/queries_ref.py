@@ -2116,6 +2116,35 @@ def q_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
                  F.countDistinct("ws").alias("n_words")))
 
 
+def q_bpe_encode_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-scale TOKENIZATION with the trained tokenizer — the
+    inference step a pipeline runs after `bpe_merges`: every document's
+    words are encoded with the learned merges and the per-document
+    sequence length is emitted (n_words, n_subword_tokens, compression
+    ratio vs characters). This is the number a pretraining data plan is
+    costed in.
+
+    100 TB shape: the trained ENCODE DICT (word -> subword count) is
+    vocabulary-sized, so it broadcasts legitimately onto the corpus token
+    stream — per-doc aggregation then map-side combines; the corpus
+    shuffles once, on doc_id. Integer-exact end to end, so the DuckDB
+    twin replays training + encoding bit-for-bit."""
+    _, words = _bpe_train(spark, sf)
+    syms = F.split(F.expr("substring(ws, 2, length(ws) - 2)"),
+                   _BPE_R + _BPE_L)
+    dict_df = words.select(
+        F.array_join(syms, "").alias("w"),  # symbols concat == the word
+        F.size(syms).alias("n_sub"))
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    tok_rows = d.select("doc_id", F.explode(toks).alias("w"))
+    return (tok_rows.join(F.broadcast(dict_df), "w")  # dict is vocab-sized
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_sub").alias("n_subword_tokens"),
+                 F.sum(F.length("w")).alias("n_chars")))
+
+
 q_bpe_merges.__doc__ = q_bpe_merges.__doc__.format(iters=_BPE_MERGE_ITERS)
 q_bpe_vocab.__doc__ = q_bpe_vocab.__doc__.format(iters=_BPE_MERGE_ITERS)
 
@@ -2176,6 +2205,24 @@ SELECT u.s AS token, sum(freq)::BIGINT AS freq,
        count(DISTINCT ws)::BIGINT AS n_words
 FROM sy, unnest(ss) AS u(s)
 GROUP BY 1
+"""
+
+
+def _bpe_encode_docs_sql() -> str:
+    l_, r_ = _BPE_L, _BPE_R
+    body, final = _bpe_cte_stack()
+    return f"""
+WITH {body},
+dc AS (SELECT array_to_string(ss, '') AS w, len(ss)::BIGINT AS n_sub
+       FROM (SELECT string_split(ws[2:length(ws)-1], '{r_}{l_}') AS ss
+             FROM {final})),
+tk AS (SELECT doc_id, u.w AS w
+       FROM documents, unnest({_DOC_TOKS}) AS u(w))
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(n_sub)::BIGINT AS n_subword_tokens,
+       sum(length(w))::BIGINT AS n_chars
+FROM tk JOIN dc USING (w)
+GROUP BY doc_id
 """
 
 
@@ -2726,6 +2773,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_vocab": q_bpe_vocab,
+    "bpe_encode_docs": q_bpe_encode_docs,
     "pack_tokens": q_pack_tokens,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
@@ -2771,6 +2819,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
     "bpe_merges": _bpe_merges_sql(),
     "bpe_vocab": _bpe_vocab_sql(),
+    "bpe_encode_docs": _bpe_encode_docs_sql(),
     "pack_tokens": _SQL_PACK_TOKENS,
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated

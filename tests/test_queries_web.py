@@ -306,3 +306,29 @@ def test_bpe_vocab_python_replay(spark):
     rows = q_bpe_vocab(spark, SF).collect()
     assert {r.token: r.freq for r in rows} == freq
     assert {r.token: r.n_words for r in rows} == n_words
+
+
+def test_bpe_encode_docs_python_replay(spark):
+    """Per-document subword sequence lengths under the trained merges
+    equal the replay: n_subword_tokens = sum over the doc's words of the
+    word's post-merge symbol count."""
+    from collections import Counter
+
+    from ksana_corpus_builder_spark.queries_ref import (_BPE_MERGE_ITERS,
+                                                        q_bpe_encode_docs)
+    d = pd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    wf = Counter(t for txt in d["text"] for t in txt.split(" ") if t)
+    _, words = _bpe_replay(dict(wf), _BPE_MERGE_ITERS)
+    n_sub = {w: len(entry[0]) for w, entry in words.items()}
+    rows = {r.doc_id: r for r in q_bpe_encode_docs(spark, SF).collect()}
+    for _, row in d.iterrows():
+        toks = [t for t in row["text"].split(" ") if t]
+        if not toks:
+            assert row["doc_id"] not in rows
+            continue
+        r = rows[row["doc_id"]]
+        assert r.n_words == len(toks)
+        assert r.n_subword_tokens == sum(n_sub[t] for t in toks)
+        assert r.n_chars == sum(len(t) for t in toks)
+        assert r.n_words <= r.n_subword_tokens <= r.n_chars
