@@ -119,6 +119,17 @@ EXPECT: dict[str, list[str]] = {
     # the argmax merge reaches each pair row as a 1-row broadcast (no sort)
     "bpe_pair_counts": ["partial_count", "partial_sum",
                         "BroadcastNestedLoopJoin"],
+    # round 5: the iterated trainer joins each iteration's (checkpointed,
+    # vocab-sized) pair table with its 1-row argmax as a broadcast and
+    # unions the per-iteration traces — never a sort
+    "bpe_merges": ["BroadcastNestedLoopJoin", "Union"],
+    # round 5: the trained encode dict broadcasts onto the corpus token
+    # stream; the per-doc agg partial-combines map-side
+    "bpe_encode_docs": ["BroadcastHashJoin", "partial_count",
+                        "partial_sum"],
+    # round 5: materialized packing — same chunk-bounded offsets windows
+    # as pack_sequences feeding ONE bin-keyed aggregation
+    "pack_tokens": ["Arguments: [chunk", "partial_count"],
 }
 
 # Round 5 (VERDICT r4 #1/#3): the doc-dim offsets->tokens join and the
