@@ -393,3 +393,51 @@ def _add_bits(acc, h, seq64):
         acc, seq64,
         lambda c, i: c + F.call_function("shiftright", h, i - 1)
         .bitwiseAND(F.lit(1)) * 2 - 1)
+
+
+# ------------------------------------------------------------ bloom filter
+
+def bloom_membership(old: DataFrame, new: DataFrame, *,
+                     words: int = 8192, k: int = 3,
+                     id_col: str = "new_id",
+                     text_col: str = "text") -> DataFrame:
+    """Bloom-filter membership pre-filter for incremental (dump-N vs
+    history) dedup: build an m = 32*words bit filter over the OLD side's
+    content hashes, then probe every NEW row against it. No false
+    negatives by construction; false positives at the classical
+    (1 - e^(-k*n/m))^k rate. Probe positions use Kirsch-Mitzenmacher
+    double hashing — pos_i = (h1 + i*h2) mod m, i in [0, k) — over two
+    48-bit md5-prefix integers, so every bit of the filter is plain
+    integer arithmetic a DuckDB oracle replays exactly (i*h2 <= 2*2^48,
+    ANSI-safe).
+
+    100 TB shape: this is the production step BEFORE the exact history
+    join — the filter build is one map-side-combined bit_or aggregation
+    down to a FIXED `words` rows (independent of corpus size; 100 TB of
+    history still folds to the same m bits), the probe joins that
+    fixed-size table (broadcast is CORRECT here: the size is a
+    configuration constant, not data-dependent), and only bloom-hit rows
+    (true dups + the fp band) ever reach the expensive shuffle join
+    against history.
+
+    -> (id_col, bloom_hit), one row per new row."""
+    m = words * 32
+    h = F.md5(F.col(text_col).cast("binary"))
+    h1 = F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("h1")
+    h2 = F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("h2")
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    pos = ((F.col("h1") + F.col("i") * F.col("h2")) % m).alias("pos")
+    word = F.expr("pos div 32").alias("word")
+    bit = F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))") \
+        .alias("bit")
+    filt = (old.select(h1, h2).select("h1", "h2", i).select(pos)
+            .select(word, bit)
+            .groupBy("word").agg(F.expr("bit_or(bit)").alias("w")))
+    probes = (new.select(id_col, h1, h2).select(id_col, "h1", "h2", i)
+              .select(id_col, pos).select(id_col, word, bit))
+    hits = (probes.join(F.broadcast(filt), "word", "left")
+            .select(id_col,
+                    (F.coalesce(F.col("w"), F.lit(0))
+                     .bitwiseAND(F.col("bit")) == F.col("bit")).alias("hit")))
+    return hits.groupBy(id_col).agg(
+        F.expr("bool_and(hit)").alias("bloom_hit"))

@@ -1026,15 +1026,17 @@ _DRIVER_WINDOW = [
     # the 26 round-4 additions (web-four, classifier_train, url_filter,
     # intra_line_dedup, c4_line_filter, minhash_dedup, corpus_manifest,
     # corpus_datacard, cross_snapshot_minhash, pack_sequences,
-    # bpe_pair_counts, ...). Round 5 evicts six D4-green veterans
+    # bpe_pair_counts, ...). Round 5 evicts nine D4-green veterans
     # (standoff_kfields, standoff_afields, a3_toc, kpos_roundtrip_col,
-    # incremental_hourly, train_split) for the four round-5 additions
-    # (bpe_merges, bpe_vocab, bpe_encode_docs, pack_tokens) and re-proofs
-    # of the two queries whose offsets join changed mode (posting_stats,
-    # book_tpos_map — VERDICT r4 #1).
+    # incremental_hourly, train_split, sample_per_source, context_chunks,
+    # embed_neardup_lsh) for the seven round-5 additions (bpe_merges,
+    # bpe_vocab, bpe_encode_docs, pack_tokens, bloom_dedup,
+    # lm_train_score, hll_distinct) and re-proofs of the two queries
+    # whose offsets join changed mode (posting_stats, book_tpos_map —
+    # VERDICT r4 #1).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
+    "bloom_dedup", "lm_train_score", "hll_distinct",
     "posting_stats", "book_tpos_map",
-    "sample_per_source", "context_chunks", "embed_neardup_lsh",
     "dedup_components", "media_base64",
     "stream_sliding",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —

@@ -34,6 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.dedup import bloom_membership
 from .sources.pages import STAGE_PATH as _PAGES_STAGE
 from .sources.pages import STREAM_DEDUP_PATH as _SD_STAGE
 from .sources.tables import load
@@ -276,6 +277,261 @@ FROM read_parquet('{_SD_STAGE}/*.parquet')
 """
 
 
+# ------------------------------------------ bloom-filter incremental dedup
+
+_BLOOM_WORDS = 8192   # 32-bit words -> m = 262,144 filter bits
+_BLOOM_K = 3          # double-hashed probes per key
+
+
+def q_bloom_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter pre-filter for dump-N-vs-history dedup, over the SAME
+    derived old/new split as `cross_snapshot_dedup`: an m-bit filter is
+    built from the history's content hashes (one map-side-combined bit_or
+    agg down to a fixed {words}-row word table), every new row probes it,
+    and the exact membership flag is computed alongside so the output
+    value-proves the filter's guarantees — `is_dup` implies `bloom_hit`
+    (zero false negatives, pytest-pinned) and the false-positive band is
+    exactly the classical rate.
+
+    100 TB shape: the production incremental-ingest fast path — the
+    filter is CORPUS-SIZE-INDEPENDENT (m bits however large history
+    grows, vs the band table of `cross_snapshot_minhash` or the full
+    hash join of `cross_snapshot_dedup`), so the expensive shuffle join
+    against history runs only on the bloom-hit sliver
+    (dup_rate + fp_rate of the dump). See
+    `operators/dedup.py:bloom_membership` for the plan notes."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    old = d.where(F.col("doc_id") % 3 != 2)
+    fresh = (d.where(F.col("doc_id") % 3 == 2)
+             .select((F.col("doc_id") + _XS_OFF).alias("new_id"), "text")
+             .unionAll(
+                 old.where(F.col("doc_id") % 5 == 0)
+                 .select((F.col("doc_id") + 2 * _XS_OFF).alias("new_id"),
+                         "text")))
+    bloom = bloom_membership(old, fresh, words=_BLOOM_WORDS, k=_BLOOM_K)
+    oldh = (old.select(F.md5(F.col("text").cast("binary")).alias("h"))
+            .distinct())
+    exact = (fresh.select("new_id",
+                          F.md5(F.col("text").cast("binary")).alias("h"))
+             .join(oldh.withColumn("is_dup", F.lit(True)), "h", "left")
+             .select("new_id",
+                     F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+    return (bloom.join(exact, "new_id")
+            .select("new_id", "bloom_hit", "is_dup"))
+
+
+q_bloom_dedup.__doc__ = q_bloom_dedup.__doc__.format(words=_BLOOM_WORDS)
+
+_BLOOM_PROBES = ", ".join(str(i) for i in range(_BLOOM_K))
+_SQL_BLOOM_DEDUP = f"""
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+fresh AS (SELECT doc_id + {_XS_OFF} AS new_id, text FROM documents
+            WHERE doc_id % 3 = 2
+          UNION ALL
+          SELECT doc_id + {2 * _XS_OFF}, text FROM old WHERE doc_id % 5 = 0),
+oh AS (SELECT ('0x' || substr(md5(text), 1, 12))::BIGINT AS h1,
+              ('0x' || substr(md5(text), 13, 12))::BIGINT AS h2 FROM old),
+op AS (SELECT (h1 + i * h2) % {_BLOOM_WORDS * 32} AS pos
+       FROM oh, unnest([{_BLOOM_PROBES}]) AS u(i)),
+filt AS (SELECT pos // 32 AS word,
+                bit_or(1::BIGINT << (pos % 32)::INTEGER) AS w
+         FROM op GROUP BY 1),
+nh AS (SELECT new_id, md5(text) AS h,
+              ('0x' || substr(md5(text), 1, 12))::BIGINT AS h1,
+              ('0x' || substr(md5(text), 13, 12))::BIGINT AS h2 FROM fresh),
+np AS (SELECT new_id, h, (h1 + i * h2) % {_BLOOM_WORDS * 32} AS pos
+       FROM nh, unnest([{_BLOOM_PROBES}]) AS u(i)),
+hits AS (SELECT np.new_id, np.h,
+           bool_and((coalesce(filt.w, 0)
+                     & (1::BIGINT << (np.pos % 32)::INTEGER))
+                    = (1::BIGINT << (np.pos % 32)::INTEGER)) AS bloom_hit
+         FROM np LEFT JOIN filt ON np.pos // 32 = filt.word
+         GROUP BY 1, 2),
+oldh AS (SELECT DISTINCT md5(text) AS h FROM old)
+SELECT hits.new_id, hits.bloom_hit, (oldh.h IS NOT NULL) AS is_dup
+FROM hits LEFT JOIN oldh USING (h)
+"""
+
+
+# --------------------------------- corpus-trained bigram LM (CCNet shape)
+
+_LM_Q = 1_000_000  # ppm quantization of smoothed bigram probabilities
+
+
+def _lm_idiv(a, b):
+    """Exact integer division on long columns (same derivation as
+    queries_ref._idiv): (a - a % b) is exactly divisible by b and all
+    values stay < 2^53, so the double division is the exact quotient."""
+    return ((a - a % b) / b).cast("long")
+
+
+def q_lm_train_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-shape LM pipeline: TRAIN an add-one-smoothed token-bigram LM
+    on a reference slice of the corpus (doc_id % 7 == 1 — the stand-in
+    for the curated corpus CCNet trains KenLM on), then SCORE every
+    document with the trained model. Integer-exact by construction: each
+    bigram's smoothed probability (c12+1)/(c1+V) is quantized to ppm with
+    one integer floor-division and the doc score is the integer mean over
+    its bigrams — a monotone arithmetic-mean-likelihood surrogate for
+    log-space perplexity that both engines replay bit-for-bit (the
+    float-log formulation is the `perplexity` kernel already on the fused
+    pipeline path; this query is the TRAINED-model composition).
+
+    100 TB shape: the trained bigram-count table is vocab^2-bounded but
+    corpus-derived (CCNet's KenLM measures in GBs), so the scoring join
+    is a plain shuffle hash join on the bigram key — NOT a broadcast;
+    context counts derive from the bigram table by a second map-side
+    agg (never a token recount); V reaches the quotient as a one-row
+    broadcast scalar; the per-doc mean is one map-side-combined agg."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t = (d.select("doc_id", toks.alias("toks"))
+         .where(F.size("toks") >= 2))
+    bg = F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(F.element_at("toks", i).alias("w1"),
+                           F.element_at("toks", i + 1).alias("w2"))))
+    pairs = (t.select("doc_id", bg.alias("g"))
+             .select("doc_id", F.col("g.w1").alias("w1"),
+                     F.col("g.w2").alias("w2")))
+    train = pairs.where(F.col("doc_id") % 7 == 1)
+    c12 = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c12.select("w2").distinct().agg(F.count("*").alias("v"))
+    scored = (pairs.join(c12, ["w1", "w2"], "left")
+              .join(c1, ["w1"], "left")
+              .crossJoin(F.broadcast(v))
+              .select("doc_id",
+                      _lm_idiv((F.coalesce("c12", F.lit(0)) + 1) * _LM_Q,
+                               F.coalesce("c1", F.lit(0)) + F.col("v"))
+                      .alias("q")))
+    per = scored.groupBy("doc_id").agg(F.count("*").alias("nb"),
+                                       F.sum("q").alias("sq"))
+    return (d.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("nb", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce(_lm_idiv(F.col("sq"), F.col("nb")), F.lit(0))
+                    .cast("long").alias("lm_score")))
+
+
+_SQL_LM_TRAIN_SCORE = f"""
+WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+p AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT * FROM t WHERE len(toks) >= 2),
+           unnest(range(1, len(toks))) AS u(i)),
+tr AS (SELECT w1, w2, count(*) AS c12 FROM p WHERE doc_id % 7 = 1
+       GROUP BY 1, 2),
+cx AS (SELECT w1, sum(c12) AS c1 FROM tr GROUP BY 1),
+vv AS (SELECT count(DISTINCT w2) AS v FROM tr),
+sc AS (SELECT p.doc_id,
+         ((coalesce(tr.c12, 0) + 1) * {_LM_Q})
+           // (coalesce(cx.c1, 0) + vv.v) AS q
+       FROM p LEFT JOIN tr USING (w1, w2) LEFT JOIN cx USING (w1), vv),
+per AS (SELECT doc_id, count(*) AS nb, sum(q) AS sq FROM sc GROUP BY 1)
+SELECT d.doc_id, coalesce(per.nb, 0)::BIGINT AS n_bigrams,
+       coalesce(per.sq // per.nb, 0)::BIGINT AS lm_score
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+# ------------------------------------- HyperLogLog distinct-count sketch
+
+_HLL_P = 8                    # 2^8 = 256 registers
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 20               # 28-bit portable hash minus p bucket bits
+_HLL_RMAX = _HLL_WBITS + 1    # rho range [1, 21]; empty register = 0
+# floor(1e6 * 0.7213 / (1 + 1.079/m)) for m=256 (Flajolet et al. 2007)
+_HLL_ALPHA_PPM = 718272
+_HLL_NUM = _HLL_ALPHA_PPM * _HLL_M * _HLL_M * (1 << _HLL_RMAX)  # < 2^57
+
+
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-content counting, built by hand so every
+    register is value-oracled: bucket = low {p} bits of the portable
+    28-bit md5 hash, rho = leading-zero rank of the remaining {wbits}
+    bits, register = max(rho) per bucket (duplicates collapse under max —
+    that IS the sketch's distinctness), raw estimate = alpha * m^2 /
+    sum(2^-rho) evaluated entirely in scaled BIGINT arithmetic
+    (alpha quantized to ppm, the harmonic sum scaled by 2^{rmax}).
+    The exact distinct count rides along so the output row value-proves
+    the estimator's error at test scale.
+
+    100 TB shape: the register table is one map-side-combined max agg
+    down to m = {m} rows — FIXED state however large the crawl (the
+    reason production counts distinct urls/hashes with HLL, not
+    count(distinct)); the exact-count column is the expensive
+    comparison path a production run drops. Spark's native
+    `approx_count_distinct` is the C-form HLL++ production default;
+    this query is the value-proven algorithmic twin (the `minhash_md5`
+    convention: same algorithm, portable hash, exact DuckDB parity)."""
+    d = load(spark, sf, "documents")
+    h = (F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 7),
+                16, 10).cast("long"))
+    base = (d.select(h.alias("h"))
+            .select("h", (F.col("h") % _HLL_M).alias("bucket"),
+                    F.expr(f"h div {_HLL_M}").alias("w")))
+    rho = (F.when(F.col("w") == 0, F.lit(_HLL_RMAX))
+           .otherwise(F.lit(_HLL_RMAX) - F.length(F.conv(F.col("w"), 10, 2))))
+    regs = (base.select("bucket", rho.cast("long").alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("r")))
+    agg = regs.agg(
+        F.count("*").alias("occupied"),
+        F.sum(F.expr(
+            f"shiftleft(cast(1 as bigint), {_HLL_RMAX} - cast(r as int))"))
+        .alias("s_occ"))
+    ex = base.agg(F.countDistinct("h").alias("exact_distinct"))
+    out = (agg.crossJoin(F.broadcast(ex))
+           .select(F.lit(_HLL_M).cast("long").alias("m"),
+                   (F.lit(_HLL_M) - F.col("occupied")).cast("long")
+                   .alias("v0"),
+                   (F.col("s_occ")
+                    + (F.lit(_HLL_M) - F.col("occupied"))
+                    * F.lit(1 << _HLL_RMAX)).cast("long").alias("s_scaled"),
+                   F.col("exact_distinct").cast("long")
+                   .alias("exact_distinct")))
+    return out.select(
+        "m", "v0", "s_scaled",
+        F.expr(f"cast({_HLL_NUM} as bigint) div (s_scaled * 1000000)")
+        .alias("est_raw"),
+        "exact_distinct",
+        F.expr(f"((cast({_HLL_NUM} as bigint) div (s_scaled * 1000000))"
+               f" - exact_distinct) * 1000000 div exact_distinct")
+        .alias("err_ppm"))
+
+
+q_hll_distinct.__doc__ = q_hll_distinct.__doc__.format(
+    p=_HLL_P, wbits=_HLL_WBITS, rmax=_HLL_RMAX, m=_HLL_M)
+
+_SQL_HLL_DISTINCT = f"""
+WITH b AS (SELECT ('0x' || substr(md5(text), 1, 7))::BIGINT AS h
+           FROM documents),
+r AS (SELECT h % {_HLL_M} AS bucket,
+             CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_RMAX}
+                  ELSE {_HLL_RMAX} - length(bin(h // {_HLL_M})) END AS rho
+      FROM b),
+regs AS (SELECT bucket, max(rho) AS r FROM r GROUP BY 1),
+agg AS (SELECT count(*) AS occupied,
+               sum(1::BIGINT << ({_HLL_RMAX} - r)::INTEGER)::BIGINT AS s_occ
+        FROM regs),
+ex AS (SELECT count(DISTINCT h) AS exact_distinct FROM b),
+o AS (SELECT {_HLL_M}::BIGINT AS m,
+             ({_HLL_M} - occupied)::BIGINT AS v0,
+             (s_occ + ({_HLL_M} - occupied)
+              * (1::BIGINT << {_HLL_RMAX}))::BIGINT AS s_scaled,
+             exact_distinct::BIGINT AS exact_distinct
+      FROM agg, ex)
+SELECT m, v0, s_scaled,
+       ({_HLL_NUM}::BIGINT // (s_scaled * 1000000)) AS est_raw,
+       exact_distinct,
+       (({_HLL_NUM}::BIGINT // (s_scaled * 1000000)) - exact_distinct)
+         * 1000000 // exact_distinct AS err_ppm
+FROM o
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -283,6 +539,9 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_blocks": q_boilerplate_blocks,
     "cross_snapshot_dedup": q_cross_snapshot_dedup,
     "stream_dedup": q_stream_dedup,
+    "bloom_dedup": q_bloom_dedup,
+    "lm_train_score": q_lm_train_score,
+    "hll_distinct": q_hll_distinct,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -290,4 +549,7 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "boilerplate_blocks": _SQL_BOILERPLATE_BLOCKS,
     "cross_snapshot_dedup": _SQL_CROSS_SNAPSHOT_DEDUP,
     "stream_dedup": _SQL_STREAM_DEDUP,
+    "bloom_dedup": _SQL_BLOOM_DEDUP,
+    "lm_train_score": _SQL_LM_TRAIN_SCORE,
+    "hll_distinct": _SQL_HLL_DISTINCT,
 }

@@ -332,3 +332,130 @@ def test_bpe_encode_docs_python_replay(spark):
         assert r.n_subword_tokens == sum(n_sub[t] for t in toks)
         assert r.n_chars == sum(len(t) for t in toks)
         assert r.n_words <= r.n_subword_tokens <= r.n_chars
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    """The bloom filter's defining guarantee: every exact duplicate is a
+    bloom hit (is_dup -> bloom_hit); and the exact flags replay
+    cross_snapshot_dedup's split semantics (every simulated re-crawl row,
+    new_id >= 2*offset, is a dup AND a hit)."""
+    rows = qw.q_bloom_dedup(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r.bloom_hit for r in rows if r.is_dup)
+    recrawls = [r for r in rows if r.new_id >= 2 * qw._XS_OFF]
+    assert recrawls and all(r.is_dup and r.bloom_hit for r in recrawls)
+
+
+def test_bloom_membership_tiny_filter_false_positives(spark):
+    """At words=1 (32 filter bits) saturation forces false positives —
+    the classical bloom trade-off the full-size query never shows at test
+    scale — while false negatives stay impossible BY CONSTRUCTION at any
+    size. Old = 40 distinct texts; new = 10 of those (must all hit) + 40
+    unseen (some must collide at this saturation)."""
+    from ksana_corpus_builder_spark.operators.dedup import bloom_membership
+    old = spark.createDataFrame(
+        [(i, f"seen text number {i}") for i in range(40)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, f"seen text number {i}") for i in range(10)]
+        + [(100 + i, f"unseen text number {i}") for i in range(40)],
+        "new_id long, text string")
+    out = {r.new_id: r.bloom_hit
+           for r in bloom_membership(old, new, words=1, k=2).collect()}
+    assert all(out[i] for i in range(10))          # no false negatives
+    assert any(out[100 + i] for i in range(40))    # saturation -> some fps
+
+
+def test_bloom_dedup_python_replay(spark):
+    """Bit-for-bit python replay of the filter build + probe (third
+    spelling of the same integer arithmetic, independent of both
+    engines)."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    m = qw._BLOOM_WORDS * 32
+    old = docs[docs.doc_id % 3 != 2]
+
+    def h12(text: str) -> tuple[int, int]:
+        h = hashlib.md5(text.encode()).hexdigest()
+        return int(h[:12], 16), int(h[12:24], 16)
+
+    bits = set()
+    for txt in old.text:
+        h1, h2 = h12(txt)
+        for i in range(qw._BLOOM_K):
+            bits.add((h1 + i * h2) % m)
+    expect = {}
+    for row in old[old.doc_id % 5 == 0].itertuples():
+        expect[row.doc_id + 2 * qw._XS_OFF] = row.text
+    for row in docs[docs.doc_id % 3 == 2].itertuples():
+        expect[row.doc_id + qw._XS_OFF] = row.text
+    hits = {nid: all((h12(txt)[0] + i * h12(txt)[1]) % m in bits
+                     for i in range(qw._BLOOM_K))
+            for nid, txt in expect.items()}
+    out = {r.new_id: r.bloom_hit for r in qw.q_bloom_dedup(spark, SF).collect()}
+    assert out == hits
+
+
+def test_lm_train_score_python_replay(spark):
+    """Counter-based replay of the trained bigram LM: identical integer
+    smoothing/quantization, independent of both engines."""
+    from collections import Counter
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    grams = {row.doc_id: list(zip(t := [w for w in row.text.split(" ") if w],
+                                  t[1:]))
+             for row in docs.itertuples()}
+    c12: Counter = Counter()
+    for did, gs in grams.items():
+        if did % 7 == 1:
+            c12.update(gs)
+    c1: Counter = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    v = len({w2 for _, w2 in c12})
+    out = {r.doc_id: (r.n_bigrams, r.lm_score)
+           for r in qw.q_lm_train_score(spark, SF).collect()}
+    for did, gs in grams.items():
+        if not gs:
+            assert out[did] == (0, 0)
+            continue
+        qsum = sum((c12[g] + 1) * qw._LM_Q // (c1[g[0]] + v) for g in gs)
+        assert out[did] == (len(gs), qsum // len(gs)), did
+
+
+def test_lm_train_score_separates_training_text(spark):
+    """Sanity: documents made of in-domain bigrams score far above docs
+    of never-seen tokens (the model's purpose); unseen-everything docs get
+    the uniform floor Q/(0+V)."""
+    rows = qw.q_lm_train_score(spark, SF).collect()
+    train_scores = [r.lm_score for r in rows
+                    if r.doc_id % 7 == 1 and r.n_bigrams > 0]
+    other = [r.lm_score for r in rows
+             if r.doc_id % 7 != 1 and r.n_bigrams > 0]
+    assert train_scores and other
+    assert (sum(train_scores) / len(train_scores)
+            > sum(other) / len(other))
+
+
+def test_hll_distinct_python_replay(spark):
+    """Register-for-register python replay of the hand-built HLL (third
+    spelling of the integer arithmetic), plus the estimator-quality
+    invariant the sketch exists for."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["text"]]
+    m, rmax = qw._HLL_M, qw._HLL_RMAX
+    regs = [0] * m
+    hs = set()
+    for txt in docs.text:
+        h = int(hashlib.md5(txt.encode()).hexdigest()[:7], 16)
+        hs.add(h)
+        w = h // m
+        rho = rmax if w == 0 else rmax - w.bit_length()
+        b = h % m
+        regs[b] = max(regs[b], rho)
+    s_scaled = sum(1 << (rmax - r) for r in regs)
+    est = qw._HLL_NUM // (s_scaled * 1_000_000)
+    exact = len(hs)
+    [row] = qw.q_hll_distinct(spark, SF).collect()
+    assert (row.m, row.v0, row.s_scaled) == (m, regs.count(0), s_scaled)
+    assert (row.est_raw, row.exact_distinct) == (est, exact)
+    assert row.err_ppm == (est - exact) * 1_000_000 // exact
+    # HLL standard error ~1.04/sqrt(m) = 6.5% at m=256; allow 4 sigma
+    assert abs(row.err_ppm) < 260_000
