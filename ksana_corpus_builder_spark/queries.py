@@ -1026,18 +1026,18 @@ _DRIVER_WINDOW = [
     # the 26 round-4 additions (web-four, classifier_train, url_filter,
     # intra_line_dedup, c4_line_filter, minhash_dedup, corpus_manifest,
     # corpus_datacard, cross_snapshot_minhash, pack_sequences,
-    # bpe_pair_counts, ...). Round 5 evicts nine D4-green veterans
+    # bpe_pair_counts, ...). Round 5 evicts ten D4-green veterans
     # (standoff_kfields, standoff_afields, a3_toc, kpos_roundtrip_col,
     # incremental_hourly, train_split, sample_per_source, context_chunks,
-    # embed_neardup_lsh) for the seven round-5 additions (bpe_merges,
-    # bpe_vocab, bpe_encode_docs, pack_tokens, bloom_dedup,
-    # lm_train_score, hll_distinct) and re-proofs of the two queries
-    # whose offsets join changed mode (posting_stats, book_tpos_map —
-    # VERDICT r4 #1).
+    # embed_neardup_lsh, media_base64) for the eight round-5 additions
+    # (bpe_merges, bpe_vocab, bpe_encode_docs, pack_tokens, bloom_dedup,
+    # lm_train_score, hll_distinct, cms_heavy_hitters) and re-proofs of
+    # the two queries whose offsets join changed mode (posting_stats,
+    # book_tpos_map — VERDICT r4 #1).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
-    "bloom_dedup", "lm_train_score", "hll_distinct",
+    "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "posting_stats", "book_tpos_map",
-    "dedup_components", "media_base64",
+    "dedup_components",
     "stream_sliding",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
     # to free the one slot the 11th round-4 query needs)

@@ -532,6 +532,95 @@ FROM o
 """
 
 
+# ---------------------------------- count-min sketch heavy-hitter counts
+
+_CMS_D = 4            # hash rows
+_CMS_W = 1024         # counters per row
+_CMS_FLOOR = 50       # report tokens with exact count >= floor
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch frequency estimation for heavy-hitter tokens —
+    the third classic sketch alongside `bloom_dedup` (membership) and
+    `hll_distinct` (cardinality): every token occurrence increments
+    d = {d} counters (Kirsch-Mitzenmacher double-hashed columns, the
+    bloom_dedup arithmetic), a token's estimate is the MIN over its d
+    counters, and one-sided error (est >= exact, never under) holds by
+    construction. Output: every token with exact count >= {floor},
+    its exact count, its CMS estimate, and the overshoot — so the oracle
+    value-proves the sketch's guarantee and its collision behavior.
+
+    100 TB shape: the counter table is one map-side-combined count agg
+    down to FIXED d*w = {dw} rows however large the corpus (the reason
+    production tracks hot hosts/tokens with CMS, not a full groupBy);
+    the heavy-hitter probe joins that fixed-size table broadcast. The
+    exact-count column is the expensive comparison path a production
+    run drops."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    tok = (d.select(F.explode(toks).alias("t")))
+    h = F.md5(F.col("t").cast("binary"))
+    keyed = tok.select(
+        "t",
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 13, 12), 16, 10).cast("long").alias("h2"))
+    rows = (keyed.select(
+        "t", "h1", "h2",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r"))
+        .select("t", "r",
+                ((F.col("h1") + F.col("r") * F.col("h2")) % _CMS_W)
+                .alias("c")))
+    counters = rows.groupBy("r", "c").agg(F.count("*").alias("cnt"))
+    exact = (rows.where(F.col("r") == 0)
+             .groupBy("t").agg(F.count("*").alias("exact_cnt")))
+    heavy = exact.where(F.col("exact_cnt") >= _CMS_FLOOR)
+    dk = keyed.select("t", "h1", "h2").distinct()
+    probes = (heavy.join(dk, "t")
+              .select("t", "exact_cnt", "h1", "h2",
+                      F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1)))
+                      .alias("r"))
+              .select("t", "exact_cnt", "r",
+                      ((F.col("h1") + F.col("r") * F.col("h2")) % _CMS_W)
+                      .alias("c")))
+    est = (probes.join(F.broadcast(counters), ["r", "c"])
+           .groupBy("t", "exact_cnt").agg(F.min("cnt").alias("cms_est")))
+    return (est.select(F.col("t").alias("token"),
+                       F.col("exact_cnt").cast("long").alias("exact_cnt"),
+                       F.col("cms_est").cast("long").alias("cms_est"),
+                       (F.col("cms_est") - F.col("exact_cnt")).cast("long")
+                       .alias("overshoot")))
+
+
+q_cms_heavy_hitters.__doc__ = q_cms_heavy_hitters.__doc__.format(
+    d=_CMS_D, floor=_CMS_FLOOR, dw=_CMS_D * _CMS_W)
+
+_CMS_ROWS = ", ".join(str(i) for i in range(_CMS_D))
+_SQL_CMS_HEAVY_HITTERS = f"""
+WITH tok AS (SELECT u.t AS t
+             FROM (SELECT list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS toks
+                   FROM documents), unnest(toks) AS u(t)),
+keyed AS (SELECT t,
+            ('0x' || substr(md5(t), 1, 12))::BIGINT AS h1,
+            ('0x' || substr(md5(t), 13, 12))::BIGINT AS h2 FROM tok),
+rows_ AS (SELECT t, i AS r, (h1 + i * h2) % {_CMS_W} AS c
+          FROM keyed, unnest([{_CMS_ROWS}]) AS u(i)),
+counters AS (SELECT r, c, count(*) AS cnt FROM rows_ GROUP BY 1, 2),
+exact AS (SELECT t, count(*) AS exact_cnt FROM rows_ WHERE r = 0
+          GROUP BY 1),
+heavy AS (SELECT t, exact_cnt FROM exact WHERE exact_cnt >= {_CMS_FLOOR}),
+dk AS (SELECT DISTINCT t, h1, h2 FROM keyed),
+probes AS (SELECT heavy.t, heavy.exact_cnt, i AS r,
+                  (dk.h1 + i * dk.h2) % {_CMS_W} AS c
+           FROM heavy JOIN dk USING (t), unnest([{_CMS_ROWS}]) AS u(i))
+SELECT probes.t AS token, probes.exact_cnt::BIGINT AS exact_cnt,
+       min(counters.cnt)::BIGINT AS cms_est,
+       (min(counters.cnt) - probes.exact_cnt)::BIGINT AS overshoot
+FROM probes JOIN counters USING (r, c)
+GROUP BY probes.t, probes.exact_cnt
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -542,6 +631,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_dedup": q_bloom_dedup,
     "lm_train_score": q_lm_train_score,
     "hll_distinct": q_hll_distinct,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -552,4 +642,5 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "bloom_dedup": _SQL_BLOOM_DEDUP,
     "lm_train_score": _SQL_LM_TRAIN_SCORE,
     "hll_distinct": _SQL_HLL_DISTINCT,
+    "cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
 }

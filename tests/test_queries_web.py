@@ -459,3 +459,34 @@ def test_hll_distinct_python_replay(spark):
     assert row.err_ppm == (est - exact) * 1_000_000 // exact
     # HLL standard error ~1.04/sqrt(m) = 6.5% at m=256; allow 4 sigma
     assert abs(row.err_ppm) < 260_000
+
+
+def test_cms_heavy_hitters_python_replay(spark):
+    """Counter-for-counter python replay of the count-min sketch, plus
+    the one-sided-error guarantee (est >= exact, never under) for every
+    reported heavy hitter."""
+    from collections import Counter
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["text"]]
+    d_rows, w = qw._CMS_D, qw._CMS_W
+    counters = [Counter() for _ in range(d_rows)]
+    exact: Counter = Counter()
+    cols = {}
+    for txt in docs.text:
+        for t in txt.split(" "):
+            if not t:
+                continue
+            exact[t] += 1
+            if t not in cols:
+                h = hashlib.md5(t.encode()).hexdigest()
+                h1, h2 = int(h[:12], 16), int(h[12:24], 16)
+                cols[t] = [(h1 + r * h2) % w for r in range(d_rows)]
+            for r, c in enumerate(cols[t]):
+                counters[r][c] += 1
+    expect = {t: (n, min(counters[r][c] for r, c in enumerate(cols[t])))
+              for t, n in exact.items() if n >= qw._CMS_FLOOR}
+    out = {r.token: (r.exact_cnt, r.cms_est, r.overshoot)
+           for r in qw.q_cms_heavy_hitters(spark, SF).collect()}
+    assert set(out) == set(expect)
+    for t, (n, est) in expect.items():
+        assert out[t] == (n, est, est - n), t
+        assert est >= n  # one-sided error by construction

@@ -141,6 +141,10 @@ EXPECT: dict[str, list[str]] = {
     # round 5: HLL registers partial-combine their max map-side (fixed
     # m-row state however large the scan)
     "hll_distinct": ["partial_max", "ReadSchema: struct<text:string>"],
+    # round 5: CMS counter table partial-combines map-side down to d*w
+    # fixed rows; heavy-hitter probes join it broadcast; est is a min agg
+    "cms_heavy_hitters": ["partial_count", "partial_min",
+                          "BroadcastHashJoin"],
 }
 
 # Round 5 (VERDICT r4 #1/#3): the doc-dim offsets->tokens join and the
