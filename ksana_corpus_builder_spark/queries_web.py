@@ -540,9 +540,10 @@ _CMS_FLOOR = 50       # report tokens with exact count >= floor
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
-    """Count-min sketch frequency estimation for heavy-hitter tokens —
-    the third classic sketch alongside `bloom_dedup` (membership) and
-    `hll_distinct` (cardinality): every token occurrence increments
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimation for heavy-hitter tokens — the third classic sketch
+    alongside `bloom_dedup` (membership) and `hll_distinct`
+    (cardinality): every token occurrence increments
     d = {d} counters (Kirsch-Mitzenmacher double-hashed columns, the
     bloom_dedup arithmetic), a token's estimate is the MIN over its d
     counters, and one-sided error (est >= exact, never under) holds by

@@ -459,6 +459,19 @@ def test_hll_distinct_python_replay(spark):
     assert row.err_ppm == (est - exact) * 1_000_000 // exact
     # HLL standard error ~1.04/sqrt(m) = 6.5% at m=256; allow 4 sigma
     assert abs(row.err_ppm) < 260_000
+    # mergeability — the property that makes HLL distribute: registers
+    # of a union are the per-bucket max of the parts' registers, so
+    # per-partition sketches combine losslessly (what the map-side
+    # partial max IS in the Spark plan)
+    half_a, half_b = [0] * m, [0] * m
+    for j, txt in enumerate(docs.text):
+        h = int(hashlib.md5(txt.encode()).hexdigest()[:7], 16)
+        w = h // m
+        rho = rmax if w == 0 else rmax - w.bit_length()
+        part = half_a if j % 2 == 0 else half_b
+        part[h % m] = max(part[h % m], rho)
+    merged = [max(a, b) for a, b in zip(half_a, half_b)]
+    assert merged == regs
 
 
 def test_cms_heavy_hitters_python_replay(spark):
