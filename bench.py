@@ -55,9 +55,10 @@ HEADLINE = (
     "url_filter", "intra_line_dedup", "c4_line_filter", "minhash_dedup",
     "corpus_manifest", "corpus_datacard", "cross_snapshot_minhash",
     "pack_sequences", "bpe_pair_counts",
-    # round-5 additions (suite 73 -> 81 incl. the flagship)
+    # round-5 additions (suite 73 -> 83 incl. the flagship)
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
+    "anchor_texts", "robots_filter",
 )
 
 

@@ -1033,17 +1033,20 @@ _DRIVER_WINDOW = [
     # (bpe_merges, bpe_vocab, bpe_encode_docs, pack_tokens, bloom_dedup,
     # lm_train_score, hll_distinct, cms_heavy_hitters) and re-proofs of
     # the two queries whose offsets join changed mode (posting_stats,
-    # book_tpos_map — VERDICT r4 #1).
+    # book_tpos_map — VERDICT r4 #1). Late round-5: anchor_texts and
+    # robots_filter enter; pages_pipeline and host_stats rotate out
+    # (both D3-green in CORRECTNESS_r03).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
+    "anchor_texts", "robots_filter",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     "stream_sliding",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
     # to free the one slot the 11th round-4 query needs)
     # round-3 additions slot in here (keep the window <= 50 entries)
-    "pages_pipeline", "minhash_md5", "simhash_md5", "ivf_kmeans_topk",
-    "repetition_ngrams", "tfidf_topk", "host_stats", "stream_quality",
+    "minhash_md5", "simhash_md5", "ivf_kmeans_topk",
+    "repetition_ngrams", "tfidf_topk", "stream_quality",
     "ccnet_buckets", "text_embed_topk", "scrub_rule_counts",
     # round-4 additions (oracle-backed first)
     "scrub_phone_fixture", "media_pixels", "line_dedup", "decontaminate",

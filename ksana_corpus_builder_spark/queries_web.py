@@ -622,6 +622,196 @@ GROUP BY probes.t, probes.exact_cnt
 """
 
 
+# ------------------------------------------ anchor-text aggregation
+
+_AT_TOPK = 3
+
+
+def q_anchor_texts(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text aggregation over the link graph — the classic web-
+    corpus doc-expansion signal (the text OTHER pages use to link to a
+    document describes it better than its own body; every large-scale
+    web index aggregates it). Deterministic edge synthesis in the
+    `pagerank` convention (2 out-links per doc, targets pure arithmetic
+    in doc_id): one affine family is a uniform permutation mod N, the
+    other is QUADRATIC (bounded residue product, int64-safe at any
+    doc_id) so in-link counts skew heavy-tailed like a real web graph
+    and some docs receive no links at all. Each edge carries an anchor
+    string: the source document's first token on its affine out-link,
+    its second token on the quadratic one.
+    Output per TARGET doc: total in-links, distinct anchor count, and
+    the top-{k} anchors by (freq desc, anchor asc), '|'-joined so the
+    ranked list value-hashes as one scalar.
+
+    100 TB shape: two map-side-combined hash aggregations — (dst,
+    anchor) counts, then per-dst rollup — and nothing else; the only
+    broadcast is the O(1)-row scalar N. collect_list is bounded by a
+    target's DISTINCT anchor vocabulary (web anchor vocabularies are
+    Zipfian-small per target; production would cap with a per-group
+    top-k window first). Raw pages never shuffle: the anchor is
+    extracted map-side and the shuffle rows carry (dst, anchor) only."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    n = d.agg(F.count("*").alias("n"))
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    a = (d.crossJoin(F.broadcast(n))
+         .select("doc_id", "n", toks.alias("toks"))
+         .where(F.size("toks") >= 1)
+         .select("doc_id", "n", F.get("toks", 0).alias("a1"),
+                 F.coalesce(F.get("toks", 1), F.get("toks", 0)).alias("a2")))
+    edges = (a.select(((F.col("doc_id") * 73 + 11) % F.col("n")).alias("dst"),
+                      F.col("a1").alias("anchor"))
+             .unionAll(a.select(
+                 (((F.col("doc_id") % 997) * (F.col("doc_id") % 983) + 7)
+                  % F.col("n")).alias("dst"),
+                 F.col("a2").alias("anchor"))))
+    per = edges.groupBy("dst", "anchor").agg(F.count("*").alias("cnt"))
+    return (per.groupBy("dst").agg(
+        F.sum("cnt").alias("in_links"),
+        F.count("*").alias("n_anchors"),
+        F.concat_ws("|", F.slice(F.transform(F.array_sort(F.collect_list(
+            F.struct((-F.col("cnt")).alias("nc"),
+                     F.col("anchor").alias("a")))),
+            lambda s: s["a"]), 1, _AT_TOPK)).alias("top_anchors"))
+        .select(F.col("dst").cast("long").alias("doc_id"),
+                F.col("in_links").cast("long").alias("in_links"),
+                F.col("n_anchors").cast("long").alias("n_anchors"),
+                "top_anchors"))
+
+
+_SQL_ANCHOR_TEXTS = f"""
+WITH d AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+a AS (SELECT doc_id, toks[1] AS a1, coalesce(toks[2], toks[1]) AS a2
+      FROM d WHERE len(toks) >= 1),
+e AS (SELECT (doc_id * 73 + 11) % n.n AS dst, a1 AS anchor FROM a, n
+      UNION ALL
+      SELECT ((doc_id % 997) * (doc_id % 983) + 7) % n.n AS dst,
+             a2 AS anchor FROM a, n),
+per AS (SELECT dst, anchor, count(*) AS cnt FROM e GROUP BY 1, 2)
+SELECT dst::BIGINT AS doc_id, sum(cnt)::BIGINT AS in_links,
+       count(*)::BIGINT AS n_anchors,
+       array_to_string((array_agg(anchor ORDER BY cnt DESC, anchor))
+                       [1:{_AT_TOPK}], '|') AS top_anchors
+FROM per GROUP BY dst
+"""
+
+
+# ------------------------------ robots.txt longest-prefix-match filter
+
+# Deterministic per-host rule synthesis over the page generator's hex
+# path universe (paths are 12 lowercase-hex chars). 1-char rules cover
+# hex digits 0..b only (so ~1/4 of urls match NO rule and exercise the
+# default-allow path); 2-char rules cover 8 host-dependent digraphs and
+# OVERRIDE the 1-char rule on the longest-match principle (Google REP:
+# the most specific matching rule wins).
+_RB_HOSTS = 11   # generator universe: bighost.example + host1..host10
+_RB_R1 = 12      # 1-char rules per host (hex digits 0..b)
+_RB_R2 = 8       # 2-char rules per host (even hex digits)
+_RB_HEX = "0123456789abcdef"
+
+
+def q_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Robots-exclusion filtering with LONGEST-PREFIX-MATCH rule
+    resolution — the crawl-politeness stage every web pipeline runs
+    before fetch/ingest. Rules are synthesized deterministically per
+    host over the generator's hex-path universe (no external data):
+    each host gets {r1} one-char Disallow/Allow prefixes and {r2}
+    two-char overrides; a URL's verdict is the longest matching rule's
+    action, default ALLOW when nothing matches (the REP default).
+    Output per url: host, the winning rule prefix (null if none), its
+    length, and the final allowed verdict.
+
+    100 TB shape: the rule table is dimension-sized (the full web's
+    robots corpus is ~10^8 (host, prefix) rows — partitionable, and
+    per-host rule lists broadcast in practice) -> BROADCAST hash join
+    on the extracted host; the prefix test is codegen `startswith`; the
+    winner is one map-side-combinable max/max_by agg whose shuffle rows
+    carry (url, plen, prefix, allow) for MATCHING rules only (<= 2 per
+    url here; <= rule-list depth in general). Ties are impossible by
+    construction: per host and per length, at most one prefix matches
+    a given path, so max_by on plen is deterministic."""
+    from .queries import stage_pages
+    p = (spark.read.parquet(stage_pages(spark, sf))
+         .select("url",
+                 F.regexp_extract("url", r"^https://([^/]+)/", 1)
+                 .alias("host"),
+                 F.regexp_extract("url", r"^https://[^/]+/(.*)$", 1)
+                 .alias("path")))
+    host_of = (F.when(F.col("hi") == 0, F.lit("bighost.example"))
+               .otherwise(F.concat(F.lit("host"),
+                                   F.col("hi").cast("string"),
+                                   F.lit(".example"))))
+    r1 = (spark.range(_RB_HOSTS * _RB_R1)
+          .select((F.col("id") % _RB_HOSTS).alias("hi"),
+                  (F.col("id") / _RB_HOSTS).cast("long").alias("c"))
+          .select(host_of.alias("host"),
+                  F.expr(f"substr('{_RB_HEX}', c + 1, 1)").alias("prefix"),
+                  F.lit(1).alias("plen"),
+                  ((F.col("hi") + F.col("c")) % 3 != 0).alias("allow")))
+    r2 = (spark.range(_RB_HOSTS * _RB_R2)
+          .select((F.col("id") % _RB_HOSTS).alias("hi"),
+                  ((F.col("id") / _RB_HOSTS).cast("long") * 2).alias("c"))
+          .select(host_of.alias("host"),
+                  F.expr(f"substr('{_RB_HEX}', c + 1, 1) || "
+                         f"substr('{_RB_HEX}', ((c * 7 + hi) % 16) + 1, 1)")
+                  .alias("prefix"),
+                  F.lit(2).alias("plen"),
+                  ((F.col("hi") + F.col("c")) % 2 == 0).alias("allow")))
+    rules = r1.unionByName(r2)
+    cand = (p.join(F.broadcast(rules), "host")
+            .where(F.col("path").startswith(F.col("prefix"))))
+    best = cand.groupBy("url").agg(
+        F.max("plen").alias("matched_len"),
+        F.max_by("prefix", "plen").alias("matched_prefix"),
+        F.max_by("allow", "plen").alias("rule_allow"))
+    return (p.join(best, "url", "left")
+            .select("url", "host", "matched_prefix",
+                    F.coalesce(F.col("matched_len"), F.lit(0))
+                    .cast("long").alias("matched_len"),
+                    F.coalesce(F.col("rule_allow"), F.lit(True))
+                    .alias("allowed")))
+
+
+def _robots_filter_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH p AS (SELECT url,
+             regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+             regexp_extract(url, '^https://[^/]+/(.*)$', 1) AS path
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+hx AS (SELECT CASE WHEN hi = 0 THEN 'bighost.example'
+                   ELSE 'host' || hi || '.example' END AS host, hi, c
+       FROM (SELECT i % {_RB_HOSTS} AS hi, i // {_RB_HOSTS} AS c
+             FROM range(0, {_RB_HOSTS * _RB_R1}) t(i))),
+r1 AS (SELECT host, substr('{_RB_HEX}', c + 1, 1) AS prefix, 1 AS plen,
+              ((hi + c) % 3 <> 0) AS allow
+       FROM hx WHERE c < {_RB_R1}),
+hx2 AS (SELECT CASE WHEN hi = 0 THEN 'bighost.example'
+                    ELSE 'host' || hi || '.example' END AS host, hi,
+               c2 * 2 AS c
+        FROM (SELECT i % {_RB_HOSTS} AS hi, i // {_RB_HOSTS} AS c2
+              FROM range(0, {_RB_HOSTS * _RB_R2}) t(i))),
+r2 AS (SELECT host, substr('{_RB_HEX}', c + 1, 1) ||
+              substr('{_RB_HEX}', ((c * 7 + hi) % 16) + 1, 1) AS prefix,
+              2 AS plen, ((hi + c) % 2 = 0) AS allow
+       FROM hx2),
+rules AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+cand AS (SELECT p.url, rules.prefix, rules.plen, rules.allow
+         FROM p JOIN rules ON p.host = rules.host
+         WHERE starts_with(p.path, rules.prefix)),
+best AS (SELECT url, max(plen) AS matched_len,
+                max_by(prefix, plen) AS matched_prefix,
+                max_by(allow, plen) AS rule_allow
+         FROM cand GROUP BY url)
+SELECT p.url, p.host, best.matched_prefix,
+       coalesce(best.matched_len, 0)::BIGINT AS matched_len,
+       coalesce(best.rule_allow, true) AS allowed
+FROM p LEFT JOIN best USING (url)
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -633,6 +823,8 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_train_score": q_lm_train_score,
     "hll_distinct": q_hll_distinct,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "anchor_texts": q_anchor_texts,
+    "robots_filter": q_robots_filter,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -644,4 +836,6 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "lm_train_score": _SQL_LM_TRAIN_SCORE,
     "hll_distinct": _SQL_HLL_DISTINCT,
     "cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
+    "anchor_texts": _SQL_ANCHOR_TEXTS,
+    "robots_filter": _robots_filter_sql(),
 }

@@ -503,3 +503,79 @@ def test_cms_heavy_hitters_python_replay(spark):
     for t, (n, est) in expect.items():
         assert out[t] == (n, est, est - n), t
         assert est >= n  # one-sided error by construction
+
+
+def test_anchor_texts_python_replay(spark):
+    """Edge synthesis, per-target anchor counts, and the ranked top-k
+    string equal a pure-Python replay over the documents table."""
+    from collections import Counter
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+    n = len(pdf)
+    per: dict[int, Counter] = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            continue
+        a1, a2 = toks[0], toks[1] if len(toks) > 1 else toks[0]
+        d1 = (int(doc_id) * 73 + 11) % n
+        d2 = ((int(doc_id) % 997) * (int(doc_id) % 983) + 7) % n
+        per.setdefault(d1, Counter())[a1] += 1
+        per.setdefault(d2, Counter())[a2] += 1
+    got = {r.doc_id: r for r in qw.q_anchor_texts(spark, SF).collect()}
+    assert set(got) == set(per)
+    skewed = False
+    for dst, cnts in per.items():
+        g = got[dst]
+        assert g.in_links == sum(cnts.values())
+        assert g.n_anchors == len(cnts)
+        top = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert g.top_anchors == "|".join(a for a, _ in top[:qw._AT_TOPK])
+        skewed = skewed or g.in_links > 2
+    # the quadratic family must actually skew (a permutation would make
+    # every in_links exactly 2 and the ranking vacuous)
+    assert skewed
+
+
+def _robots_rules() -> dict[str, list[tuple[str, bool]]]:
+    """Pure-Python twin of the deterministic per-host rule synthesis."""
+    rules: dict[str, list[tuple[str, bool]]] = {}
+    for hi in range(qw._RB_HOSTS):
+        host = "bighost.example" if hi == 0 else f"host{hi}.example"
+        rs = []
+        for c in range(qw._RB_R1):
+            rs.append((qw._RB_HEX[c], (hi + c) % 3 != 0))
+        for c in range(0, qw._RB_R2 * 2, 2):
+            rs.append((qw._RB_HEX[c] + qw._RB_HEX[(c * 7 + hi) % 16],
+                       (hi + c) % 2 == 0))
+        rules[host] = rs
+    return rules
+
+
+def test_robots_filter_longest_match_replay(spark):
+    """Longest-prefix-match resolution (most specific rule wins, default
+    allow) equals an explicit Python replay, and the fixture exercises
+    the no-match, 1-char, and 2-char-override branches."""
+    from ksana_corpus_builder_spark.queries import stage_pages
+
+    staged = stage_pages(spark, SF)
+    pdf = pd.read_parquet(staged, columns=["url"])
+    rules = _robots_rules()
+    got = {r.url: r for r in qw.q_robots_filter(spark, SF).collect()}
+    assert len(got) == len(set(pdf["url"]))
+    seen_lens = set()
+    for url in set(pdf["url"]):
+        host, path = url.removeprefix("https://").split("/", 1)
+        matches = [(p, a) for p, a in rules.get(host, [])
+                   if path.startswith(p)]
+        g = got[url]
+        if not matches:
+            assert (g.matched_prefix, g.matched_len, g.allowed) == \
+                (None, 0, True), url
+        else:
+            p, a = max(matches, key=lambda r: len(r[0]))
+            assert (g.matched_prefix, g.matched_len, g.allowed) == \
+                (p, len(p), a), url
+        seen_lens.add(g.matched_len)
+    assert seen_lens == {0, 1, 2}

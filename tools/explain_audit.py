@@ -145,6 +145,17 @@ EXPECT: dict[str, list[str]] = {
     # fixed rows; heavy-hitter probes join it broadcast; est is a min agg
     "cms_heavy_hitters": ["partial_count", "partial_min",
                           "BroadcastHashJoin"],
+    # round 5: anchor aggregation is two map-side-combined hash aggs
+    # ((dst, anchor) counts then per-dst rollup); the only broadcast is
+    # the 1-row scalar N; the scan prunes to (doc_id, text)
+    "anchor_texts": ["partial_count", "partial_sum",
+                     "BroadcastNestedLoopJoin",
+                     "ReadSchema: struct<doc_id:bigint,text:string>"],
+    # round 5: the dim-sized rule table broadcasts onto the crawl (the
+    # crawl itself never shuffles raw rows); the longest-match winner is
+    # a map-side-combinable max/max_by agg over matching rules only
+    "robots_filter": ["BroadcastHashJoin", "partial_max",
+                      "ReadSchema: struct<url:string>"],
 }
 
 # Round 5 (VERDICT r4 #1/#3): the doc-dim offsets->tokens join and the
