@@ -1035,10 +1035,14 @@ _DRIVER_WINDOW = [
     # the two queries whose offsets join changed mode (posting_stats,
     # book_tpos_map — VERDICT r4 #1). Late round-5: anchor_texts and
     # robots_filter enter; pages_pipeline and host_stats rotate out
-    # (both D3-green in CORRECTNESS_r03).
+    # (both D3-green in CORRECTNESS_r03). Final round-5: dup_span_cut,
+    # bpe_fertility and crawl_schedule enter; scrub_phone_fixture,
+    # media_pixels and decontaminate rotate out (all three D4-green in
+    # CORRECTNESS_r04, unchanged since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
+    "dup_span_cut", "bpe_fertility", "crawl_schedule",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     "stream_sliding",
@@ -1049,7 +1053,7 @@ _DRIVER_WINDOW = [
     "repetition_ngrams", "tfidf_topk", "stream_quality",
     "ccnet_buckets", "text_embed_topk", "scrub_rule_counts",
     # round-4 additions (oracle-backed first)
-    "scrub_phone_fixture", "media_pixels", "line_dedup", "decontaminate",
+    "line_dedup",
     "url_dedup", "dup_spans", "dsir_weights", "domain_mix", "semdedup",
     "quality_classifier",
     "pagerank", "boilerplate_blocks", "cross_snapshot_dedup", "stream_dedup",

@@ -1516,6 +1516,133 @@ FROM pw JOIN df USING (w) GROUP BY url
 """
 
 
+# ------------- exact-substring duplicate REMOVAL (the Lee et al. cut)
+
+
+def q_dup_span_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """The step after `dup_spans`: actually CUT the duplicated spans out
+    of the text, keeping one copy globally (Lee et al. 'Deduplicating
+    Training Data Makes Language Models Better' delete all-but-one
+    occurrences of every duplicated substring). Per duplicated window the
+    KEEPER page is min(url); every other page's instances become cut
+    intervals [s, s+W-1] in token positions. Overlapping/adjacent
+    intervals are unioned per page with a gaps-and-islands pass (prefix-
+    max of interval end, new island when s > prev_max + 1 — since every
+    interval in a run starts at most prev_max+1, each island is a
+    contiguous [min_s, max_e] block), then the surviving tokens are
+    re-assembled in order. Output per page: token totals, island count,
+    cut/kept counts, and md5 of the cleaned text (byte-exact proof of the
+    reconstruction).
+
+    100 TB shape: both corpus-sized shuffles key on the 16-byte window
+    md5 (dup_spans discipline — window TEXT never shuffles); the islands
+    pass is a page-bounded window function (partitioned by url, never
+    global); covered positions are MATERIALIZED once per row with one
+    flatten(transform(...)) projection BEFORE the kept-token filter (the
+    no-CSE rule — inside the filter lambda they would re-expand per
+    token). The per-row cost of the kept filter is O(tokens · covered),
+    both page-bounded."""
+    from .queries import stage_pages
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
+    toks = F.filter(F.split(F.regexp_replace("text", r"\s+", " "), " "),
+                    lambda x: x != F.lit(""))
+    base = (p.select("url", toks.alias("toks"))
+            .where(F.size("toks") >= _SPAN_W))
+    n_win = ((F.size("toks") - _SPAN_W) / _SPAN_S + 1).cast("int")
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            (i * _SPAN_S + 1).alias("s"),
+            F.md5(F.concat_ws(" ", F.slice("toks", i * _SPAN_S + 1, _SPAN_W))
+                  .cast("binary")).alias("w")))
+    inst = (base.select("url", F.explode(wins).alias("x"))
+            .select("url", F.col("x.s").alias("s"), F.col("x.w").alias("w")))
+    keep = (inst.select("url", "w").distinct()
+            .groupBy("w").agg(F.count("*").alias("df"),
+                              F.min("url").alias("keeper")))
+    cut = (inst.join(keep, "w")
+           .where((F.col("df") >= 2) & (F.col("url") != F.col("keeper")))
+           .select("url", "s", (F.col("s") + _SPAN_W - 1).alias("e")))
+    w_ord = Window.partitionBy("url").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (cut
+           .withColumn("ni", (F.col("s") > F.coalesce(prev_max, F.lit(-1))
+                              + 1).cast("int"))
+           .withColumn("isl", F.sum("ni").over(
+               w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+           .groupBy("url", "isl")
+           .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    spans = (isl.groupBy("url")
+             .agg(F.count("*").alias("n_islands"),
+                  F.sum(F.col("e") - F.col("s") + 1).alias("cut_tokens"),
+                  F.collect_list(F.struct("s", "e")).alias("spans")))
+    empty_spans = F.array().cast("array<struct<s:int,e:int>>")
+    joined = (base.join(spans, "url", "left")
+              # materialize covered positions ONCE per row (no-CSE rule)
+              .withColumn("covered", F.flatten(F.transform(
+                  F.coalesce(F.col("spans"), empty_spans),
+                  lambda sp: F.sequence(sp["s"], sp["e"])))))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(F.col("covered"), i + 1))
+    return joined.select(
+        "url",
+        F.size("toks").cast("long").alias("total_tokens"),
+        F.coalesce("n_islands", F.lit(0)).cast("long").alias("n_islands"),
+        F.coalesce("cut_tokens", F.lit(0)).cast("long").alias("cut_tokens"),
+        (F.size("toks") - F.coalesce("cut_tokens", F.lit(0)))
+        .cast("long").alias("kept_tokens"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("cleaned_md5"))
+
+
+def _dup_span_cut_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH t AS (SELECT url,
+             list_filter(string_split(regexp_replace(text, '\\s+', ' ', 'g'),
+                                      ' '), x -> x <> '') AS toks
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+b AS (SELECT url, toks FROM t WHERE len(toks) >= {_SPAN_W}),
+inst AS (SELECT url, (i * {_SPAN_S} + 1) AS s,
+           md5(array_to_string(
+             toks[(i * {_SPAN_S} + 1):(i * {_SPAN_S} + {_SPAN_W})], ' ')) AS w
+         FROM b, unnest(range(0, ((len(toks) - {_SPAN_W}) // {_SPAN_S}) + 1))
+              AS u(i)),
+keep AS (SELECT w, count(DISTINCT url) AS df, min(url) AS keeper
+         FROM inst GROUP BY w),
+cut AS (SELECT url, s, s + {_SPAN_W} - 1 AS e
+        FROM inst JOIN keep USING (w)
+        WHERE df >= 2 AND url <> keeper),
+mrk AS (SELECT url, s, e,
+          CASE WHEN s > coalesce(max(e) OVER (PARTITION BY url ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+               THEN 1 ELSE 0 END AS ni
+        FROM cut),
+num AS (SELECT url, s, e,
+          sum(ni) OVER (PARTITION BY url ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM mrk),
+isl AS (SELECT url, isl, min(s) AS s, max(e) AS e FROM num GROUP BY 1, 2),
+spans AS (SELECT url, count(*) AS n_islands, sum(e - s + 1) AS cut_tokens
+          FROM isl GROUP BY url),
+cov AS (SELECT url, u.p AS pos FROM isl, unnest(range(s, e + 1)) AS u(p)),
+pos AS (SELECT url, u.i AS pos, toks[u.i] AS tok
+        FROM b, unnest(range(1, len(toks) + 1)) AS u(i)),
+kept AS (SELECT p.url, p.pos, p.tok FROM pos p
+         LEFT JOIN cov c ON p.url = c.url AND p.pos = c.pos
+         WHERE c.pos IS NULL),
+cln AS (SELECT url, md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+        FROM kept GROUP BY url)
+SELECT b.url, len(b.toks)::BIGINT AS total_tokens,
+       coalesce(spans.n_islands, 0)::BIGINT AS n_islands,
+       coalesce(spans.cut_tokens, 0)::BIGINT AS cut_tokens,
+       (len(b.toks) - coalesce(spans.cut_tokens, 0))::BIGINT AS kept_tokens,
+       coalesce(cln.cleaned_md5, md5('')) AS cleaned_md5
+FROM b LEFT JOIN spans USING (url) LEFT JOIN cln USING (url)
+"""
+
+
 # ------------------------- benchmark decontamination (n-gram overlap)
 
 _DECON_NGRAM = 3   # gram width (13 in GPT-3's filter; 3 at toy vocab scale)
@@ -2226,6 +2353,65 @@ GROUP BY doc_id
 """
 
 
+def q_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — the multilingual-pipeline metric
+    that decides whether a trained tokenizer under-serves a language
+    (fertility = subword tokens per word; high fertility inflates both
+    training cost and effective context for that language — the standard
+    multilingual-tokenizer diagnostic, e.g. XLM-R's per-language
+    fertility tables). Reuses the shared `_bpe_train` loop, then rolls
+    the encoded corpus up per `lang` instead of per doc: word/subword/
+    char totals plus ppm-quantized fertility and chars-per-token (integer
+    DIV so both engines agree bit-for-bit; int64 headroom: sums * 10^6
+    stay under 2^63 up to ~9·10^12 corpus tokens — beyond that, quantize
+    coarser or use DECIMAL, the ivf_kmeans pattern).
+
+    100 TB shape: identical to `bpe_encode_docs` — the vocab-sized encode
+    dict broadcasts onto the token stream, the per-lang agg map-side
+    combines to a LANGUAGE-cardinality result (dozens of rows however
+    large the corpus)."""
+    _, words = _bpe_train(spark, sf)
+    syms = F.split(F.expr("substring(ws, 2, length(ws) - 2)"),
+                   _BPE_R + _BPE_L)
+    dict_df = words.select(
+        F.array_join(syms, "").alias("w"),
+        F.size(syms).alias("n_sub"))
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    tok_rows = d.select("lang", F.explode(toks).alias("w"))
+    return (tok_rows.join(F.broadcast(dict_df), "w")  # dict is vocab-sized
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_sub").alias("n_subword_tokens"),
+                 F.sum(F.length("w")).alias("n_chars"))
+            .select("lang", "n_words", "n_subword_tokens", "n_chars",
+                    F.expr("n_subword_tokens * 1000000L DIV n_words")
+                    .alias("fertility_ppm"),
+                    F.expr("n_chars * 1000000L DIV n_subword_tokens")
+                    .alias("chars_per_token_ppm")))
+
+
+def _bpe_fertility_sql() -> str:
+    l_, r_ = _BPE_L, _BPE_R
+    body, final = _bpe_cte_stack()
+    return f"""
+WITH {body},
+dc AS (SELECT array_to_string(ss, '') AS w, len(ss)::BIGINT AS n_sub
+       FROM (SELECT string_split(ws[2:length(ws)-1], '{r_}{l_}') AS ss
+             FROM {final})),
+tk AS (SELECT lang, u.w AS w
+       FROM documents, unnest({_DOC_TOKS}) AS u(w))
+SELECT lang, count(*)::BIGINT AS n_words,
+       sum(n_sub)::BIGINT AS n_subword_tokens,
+       sum(length(w))::BIGINT AS n_chars,
+       (sum(n_sub) * 1000000 // count(*))::BIGINT AS fertility_ppm,
+       (sum(length(w)) * 1000000 // sum(n_sub))::BIGINT
+         AS chars_per_token_ppm
+FROM tk JOIN dc USING (w)
+GROUP BY lang
+"""
+
+
 # ----------------- cross-document sequence packing (pretraining prep)
 
 _PACK_CAP = 256  # tokens per training sequence
@@ -2774,6 +2960,8 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_vocab": q_bpe_vocab,
     "bpe_encode_docs": q_bpe_encode_docs,
+    "bpe_fertility": q_bpe_fertility,
+    "dup_span_cut": q_dup_span_cut,
     "pack_tokens": q_pack_tokens,
     "ccnet_buckets_approx": q_ccnet_buckets_approx,  # rows-only by design
 }
@@ -2820,6 +3008,8 @@ ORACLE_SQL_REF: dict[str, str] = {
     "bpe_merges": _bpe_merges_sql(),
     "bpe_vocab": _bpe_vocab_sql(),
     "bpe_encode_docs": _bpe_encode_docs_sql(),
+    "bpe_fertility": _bpe_fertility_sql(),
+    "dup_span_cut": _dup_span_cut_sql(),
     "pack_tokens": _SQL_PACK_TOKENS,
     # ccnet_buckets_approx: NO oracle by design (percentile_approx has no
     # DuckDB twin); agreement with the exact assigner is pytest-gated

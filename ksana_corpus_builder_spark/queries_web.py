@@ -31,7 +31,7 @@ import itertools
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.dedup import bloom_membership
@@ -812,6 +812,71 @@ FROM p LEFT JOIN best USING (url)
 """
 
 
+# --------------------------------------- crawl-politeness scheduling
+
+
+def q_crawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host crawl-POLITENESS scheduling — the frontier stage between
+    robots filtering and fetch: URLs of one host must be fetched
+    serially with at least crawl-delay seconds between requests, so the
+    scheduler ranks each host's frontier by priority and assigns fetch
+    offsets slot * delay. Priority is the established url-hash
+    convention (md5 prefix — stands in for the pagerank prior a
+    production frontier uses); delay is a deterministic per-host class
+    (1 + len(host) % 5 seconds). Output per url: its slot in the host
+    queue, the host's delay, the fetch offset in seconds, and the host
+    makespan (last fetch offset) — which exposes the generator's
+    intrinsic skew: bighost owns ~50% of urls, so its makespan dominates
+    the crawl, the real reason crawlers cap per-host queue depth.
+
+    100 TB shape: ONE shuffle, partitioned by host — and unlike the agg
+    skew cases, salting is semantically WRONG here: per-host ordering IS
+    the politeness constraint, so the host is the irreducible partition
+    key. The window is host-bounded (row_number + max over the host
+    partition, no global sort); production bounds the per-host queue
+    with exactly this window (rank <= depth cap). Skew is handled
+    upstream by the depth cap, not by key engineering."""
+    from .queries import stage_pages
+    p = (spark.read.parquet(stage_pages(spark, sf))
+         .select("url",
+                 F.regexp_extract("url", r"^https://([^/]+)/", 1)
+                 .alias("host"))
+         .distinct())  # re-crawled urls schedule once
+    prio = F.conv(F.substring(F.md5("url"), 1, 7), 16, 10).cast("long")
+    delay = (F.length("host") % 5 + 1).cast("long")
+    w_host = Window.partitionBy("host").orderBy(
+        F.col("prio").desc(), "url")
+    ranked = (p.select("url", "host", prio.alias("prio"),
+                       delay.alias("crawl_delay"))
+              .withColumn("slot",
+                          F.row_number().over(w_host).cast("long") - 1)
+              .withColumn("fetch_s", F.col("slot") * F.col("crawl_delay")))
+    return ranked.select(
+        "url", "host", "crawl_delay", "slot", "fetch_s",
+        F.max("fetch_s").over(Window.partitionBy("host"))
+        .alias("host_makespan_s"))
+
+
+def _crawl_schedule_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH p AS (SELECT DISTINCT url,
+             regexp_extract(url, '^https://([^/]+)/', 1) AS host
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+r AS (SELECT url, host,
+        (length(host) % 5 + 1)::BIGINT AS crawl_delay,
+        (row_number() OVER (PARTITION BY host ORDER BY
+           ('0x' || substr(md5(url), 1, 7))::BIGINT DESC, url) - 1)::BIGINT
+          AS slot
+      FROM p)
+SELECT url, host, crawl_delay, slot,
+       (slot * crawl_delay)::BIGINT AS fetch_s,
+       max(slot * crawl_delay) OVER (PARTITION BY host)::BIGINT
+         AS host_makespan_s
+FROM r
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -825,6 +890,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "anchor_texts": q_anchor_texts,
     "robots_filter": q_robots_filter,
+    "crawl_schedule": q_crawl_schedule,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -838,4 +904,5 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "cms_heavy_hitters": _SQL_CMS_HEAVY_HITTERS,
     "anchor_texts": _SQL_ANCHOR_TEXTS,
     "robots_filter": _robots_filter_sql(),
+    "crawl_schedule": _crawl_schedule_sql(),
 }

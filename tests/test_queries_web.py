@@ -579,3 +579,123 @@ def test_robots_filter_longest_match_replay(spark):
                 (p, len(p), a), url
         seen_lens.add(g.matched_len)
     assert seen_lens == {0, 1, 2}
+
+
+def test_dup_span_cut_python_replay(spark):
+    """Keeper selection, interval union, and the byte-exact cleaned-text
+    reconstruction all equal a pure-Python replay — and the fixture
+    actually exercises the cut path (some page loses tokens) alongside
+    untouched pages."""
+    import re
+    from collections import defaultdict
+
+    from ksana_corpus_builder_spark.queries import stage_pages
+    from ksana_corpus_builder_spark.queries_ref import (_SPAN_S, _SPAN_W,
+                                                        q_dup_span_cut)
+
+    staged = stage_pages(spark, SF)
+    pdf = pd.read_parquet(staged, columns=["url", "text"])
+    toks_by_url = {}
+    for url, text in zip(pdf["url"], pdf["text"]):
+        toks = [t for t in re.sub(r"\s+", " ", text).split(" ") if t]
+        if len(toks) >= _SPAN_W:
+            toks_by_url[url] = toks
+    inst = []
+    for url, toks in toks_by_url.items():
+        for i in range((len(toks) - _SPAN_W) // _SPAN_S + 1):
+            s = i * _SPAN_S + 1
+            w = hashlib.md5(
+                " ".join(toks[s - 1:s - 1 + _SPAN_W]).encode()).hexdigest()
+            inst.append((url, s, w))
+    urls_by_w = defaultdict(set)
+    for url, _, w in inst:
+        urls_by_w[w].add(url)
+    cut = defaultdict(list)
+    for url, s, w in inst:
+        us = urls_by_w[w]
+        if len(us) >= 2 and url != min(us):
+            cut[url].append((s, s + _SPAN_W - 1))
+    expected = {}
+    for url, toks in toks_by_url.items():
+        islands: list[list[int]] = []
+        for s, e in sorted(cut.get(url, [])):
+            if islands and s <= islands[-1][1] + 1:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        covered = {p for s, e in islands for p in range(s, e + 1)}
+        kept = [t for j, t in enumerate(toks, 1) if j not in covered]
+        expected[url] = (len(toks), len(islands), len(covered),
+                         len(toks) - len(covered),
+                         hashlib.md5(" ".join(kept).encode()).hexdigest())
+    got = {r.url: (r.total_tokens, r.n_islands, r.cut_tokens,
+                   r.kept_tokens, r.cleaned_md5)
+           for r in q_dup_span_cut(spark, SF).collect()}
+    assert got == expected
+    assert any(v[2] > 0 for v in expected.values())   # the cut path fires
+    assert any(v[2] == 0 for v in expected.values())  # untouched pages too
+    # one copy survives globally: every duplicated window's keeper page
+    # is never cut on that window's account alone
+    keepers = {min(us) for us in urls_by_w.values() if len(us) >= 2}
+    assert keepers  # fixture has cross-page duplicate windows
+
+
+def test_bpe_fertility_python_replay(spark):
+    """Per-language fertility equals the pure-python BPE replay rolled up
+    by the documents table's lang column, including the ppm integer
+    quantization."""
+    from collections import Counter
+
+    from ksana_corpus_builder_spark.queries_ref import (_BPE_MERGE_ITERS,
+                                                        q_bpe_fertility)
+    d = pd.read_parquet(f"{SF}/documents.parquet", columns=["text", "lang"])
+    wf = Counter(t for txt in d["text"] for t in txt.split(" ") if t)
+    _, words = _bpe_replay(dict(wf), _BPE_MERGE_ITERS)
+    n_sub = {w: len(syms) for w, (syms, _) in words.items()}
+    agg: dict[str, list[int]] = {}
+    for txt, lang in zip(d["text"], d["lang"]):
+        for t in txt.split(" "):
+            if t:
+                a = agg.setdefault(lang, [0, 0, 0])
+                a[0] += 1
+                a[1] += n_sub[t]
+                a[2] += len(t)
+    rows = q_bpe_fertility(spark, SF).collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        nw, ns, nc = agg[r.lang]
+        assert (r.n_words, r.n_subword_tokens, r.n_chars) == (nw, ns, nc)
+        assert r.fertility_ppm == ns * 1_000_000 // nw
+        assert r.chars_per_token_ppm == nc * 1_000_000 // ns
+        assert r.fertility_ppm >= 1_000_000  # a word is >= 1 subword
+
+
+def test_crawl_schedule_politeness_replay(spark):
+    """Slots, fetch offsets and makespans equal a python replay of the
+    per-host priority queue, the politeness invariant holds (same-host
+    fetches are exactly crawl_delay apart), and the generator's host skew
+    shows up as bighost dominating the makespan."""
+    from ksana_corpus_builder_spark.queries import stage_pages
+
+    staged = stage_pages(spark, SF)
+    pdf = pd.read_parquet(staged, columns=["url"]).drop_duplicates()
+    by_host: dict[str, list[tuple[int, str]]] = {}
+    for url in pdf["url"]:
+        host = url.removeprefix("https://").split("/", 1)[0]
+        prio = int(hashlib.md5(url.encode()).hexdigest()[:7], 16)
+        by_host.setdefault(host, []).append((-prio, url))
+    expected = {}
+    for host, q in by_host.items():
+        delay = len(host) % 5 + 1
+        q.sort()
+        for slot, (_, url) in enumerate(q):
+            expected[url] = (host, delay, slot, slot * delay,
+                             (len(q) - 1) * delay)
+    got = {r.url: (r.host, r.crawl_delay, r.slot, r.fetch_s,
+                   r.host_makespan_s)
+           for r in qw.q_crawl_schedule(spark, SF).collect()}
+    assert got == expected
+    makespans = {h: (len(q) - 1) * (len(h) % 5 + 1)
+                 for h, q in by_host.items()}
+    big = makespans.pop("bighost.example")
+    assert big == max([big, *makespans.values()])  # skewed host dominates

@@ -156,6 +156,21 @@ EXPECT: dict[str, list[str]] = {
     # a map-side-combinable max/max_by agg over matching rules only
     "robots_filter": ["BroadcastHashJoin", "partial_max",
                       "ReadSchema: struct<url:string>"],
+    # round 5: span-cut — keeper/island aggs partial-combine map-side,
+    # the gaps-and-islands window is URL-partitioned (page-bounded, never
+    # global), scan prunes to (url, text)
+    "dup_span_cut": ["partial_min", "Window",
+                     "ReadSchema: struct<url:string,text:string>"],
+    # round 5: fertility is the encode-dict broadcast + a LANGUAGE-
+    # cardinality rollup that partial-combines map-side; the corpus scan
+    # prunes to (text, lang)
+    "bpe_fertility": ["BroadcastHashJoin", "partial_count", "partial_sum",
+                      "ReadSchema: struct<text:string,lang:string>"],
+    # round 5: the politeness queue is ONE host-partitioned window (the
+    # host is the semantically irreducible shuffle key); scan reads url
+    # alone
+    "crawl_schedule": ["Window", "hashpartitioning(host",
+                       "ReadSchema: struct<url:string>"],
 }
 
 # Round 5 (VERDICT r4 #1/#3): the doc-dim offsets->tokens join and the
