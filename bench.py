@@ -55,11 +55,11 @@ HEADLINE = (
     "url_filter", "intra_line_dedup", "c4_line_filter", "minhash_dedup",
     "corpus_manifest", "corpus_datacard", "cross_snapshot_minhash",
     "pack_sequences", "bpe_pair_counts",
-    # round-5 additions (suite 73 -> 86 incl. the flagship)
+    # round-5 additions (suite 73 -> 87 incl. the flagship)
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
-    "dup_span_cut", "bpe_fertility", "crawl_schedule",
+    "dup_span_cut", "bpe_fertility", "crawl_schedule", "gopher_rules",
 )
 
 

@@ -1038,14 +1038,15 @@ _DRIVER_WINDOW = [
     # (both D3-green in CORRECTNESS_r03). Final round-5: dup_span_cut,
     # bpe_fertility and crawl_schedule enter; scrub_phone_fixture,
     # media_pixels and decontaminate rotate out (all three D4-green in
+    # CORRECTNESS_r04, unchanged since). gopher_rules (last round-5
+    # addition) enters; stream_sliding rotates out (D4-green in
     # CORRECTNESS_r04, unchanged since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
-    "dup_span_cut", "bpe_fertility", "crawl_schedule",
+    "dup_span_cut", "bpe_fertility", "crawl_schedule", "gopher_rules",
     "posting_stats", "book_tpos_map",
     "dedup_components",
-    "stream_sliding",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
     # to free the one slot the 11th round-4 query needs)
     # round-3 additions slot in here (keep the window <= 50 entries)

@@ -2770,6 +2770,161 @@ FROM k GROUP BY url
 """
 
 
+# ----------------- Gopher document-quality rules (Rae et al. 2021, App. A)
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher repetition-free document-quality gates (Rae et al. 2021,
+    Appendix A1.1) over the crawl: word-count bounds [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio <= 0.1 ('#'/'...'), < 90% of
+    lines bullet-led, < 30% of lines ellipsis-terminated, >= 80% of words
+    containing an alphabetic character, and >= 2 distinct stop words.
+    Thresholds are integer cross-multiplied (house rule: no float
+    ratios). The staged vocabulary carries no bullets/ellipses/hash
+    symbols, so those branches are derived deterministically — pages
+    whose md5(url) bucket is 0 (mod 13) are "listy": EVERY line gets a
+    '• ' prefix (these fail the 90%-bullet gate); on other pages, lines
+    whose md5 bucket is 0/1/2 (mod 7) get a '• ' prefix / '...' suffix /
+    ' #tag' suffix — the same expressions in both engines (the
+    intra_line_dedup derived-input discipline); word-count / mean-length
+    / alpha / stop-word branches are live naturally (5-400-word pages,
+    digit-heavy pages, no-space zh pages, non-en stop-word misses).
+
+    Distinct-stop-word counting folds to a per-line BITMASK (one
+    aggregate pass over the line's words), OR-merged per page with
+    bit_or and popcounted — no distinct shuffle, no per-page set.
+
+    100 TB shape: line tagging and per-line word stats are a pure per-row
+    map over exploded lines (codegen split + tiny-array folds, the
+    doc_stats pattern); the only shuffle is ONE map-side-combined
+    groupBy(url). Page-parallel at any scale."""
+    from .queries import stage_pages
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
+    lines = p.select("url", F.explode(F.split("text", "\n")).alias("line"))
+    b = (F.conv(F.substring(F.md5(F.col("line")), 1, 7), 16, 10)
+         .cast("long") % 7)
+    listy = (F.conv(F.substring(F.md5(F.col("url")), 1, 7), 16, 10)
+             .cast("long") % 13) == 0
+    line2 = (F.when(listy, F.concat(F.lit("• "), F.col("line")))
+             .when(b == 0, F.concat(F.lit("• "), F.col("line")))
+             .when(b == 1, F.concat(F.col("line"), F.lit("...")))
+             .when(b == 2, F.concat(F.col("line"), F.lit(" #tag")))
+             .otherwise(F.col("line")))
+    t = lines.select("url", line2.alias("line2"))
+    words = F.filter(F.split(F.col("line2"), " "), lambda x: x != F.lit(""))
+
+    def _stopbit(x):
+        e = F.lit(0).cast("long")
+        for i, s in enumerate(_GOPHER_STOPS):
+            e = F.when(x == F.lit(s), F.lit(1 << i).cast("long")).otherwise(e)
+        return e
+    perline = t.select(
+        "url",
+        F.size(words).cast("long").alias("nw"),
+        F.coalesce(
+            F.aggregate(F.transform(words, F.length),
+                        F.lit(0).cast("long"), lambda a, x: a + x),
+            F.lit(0).cast("long")).alias("wl"),
+        F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+        .cast("long").alias("al"),
+        F.size(F.filter(words,
+                        lambda x: x.startswith("#") | x.contains("...")))
+        .cast("long").alias("sy"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda a, x: a.bitwiseOR(_stopbit(x))).alias("sm"),
+        F.col("line2").startswith("• ").cast("long").alias("bul"),
+        F.col("line2").endswith("...").cast("long").alias("ell"))
+    g = perline.groupBy("url").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("nw").alias("n_words"),
+        F.sum("wl").alias("sum_word_len"),
+        F.sum("al").alias("n_alpha_words"),
+        F.sum("sy").alias("n_symbol_words"),
+        F.sum("bul").alias("n_bullet_lines"),
+        F.sum("ell").alias("n_ellipsis_lines"),
+        F.bit_count(F.bit_or("sm")).cast("long").alias("n_stop_words"))
+    nw, wl = F.col("n_words"), F.col("sum_word_len")
+    r_wc = ((nw >= 50) & (nw <= 100000)).alias("r_word_count")
+    r_mwl = ((wl >= 3 * nw) & (wl <= 10 * nw)).alias("r_mean_word_len")
+    r_sym = (10 * F.col("n_symbol_words") <= nw).alias("r_symbol_ratio")
+    r_bul = (10 * F.col("n_bullet_lines")
+             < 9 * F.col("n_lines")).alias("r_bullet")
+    r_ell = (10 * F.col("n_ellipsis_lines")
+             < 3 * F.col("n_lines")).alias("r_ellipsis")
+    r_al = (5 * F.col("n_alpha_words") >= 4 * nw).alias("r_alpha")
+    r_st = (F.col("n_stop_words") >= 2).alias("r_stop_words")
+    out = g.select("url", "n_lines", "n_words", "sum_word_len",
+                   "n_alpha_words", "n_symbol_words", "n_bullet_lines",
+                   "n_ellipsis_lines", "n_stop_words",
+                   r_wc, r_mwl, r_sym, r_bul, r_ell, r_al, r_st)
+    return out.select(
+        "*",
+        (F.col("r_word_count") & F.col("r_mean_word_len")
+         & F.col("r_symbol_ratio") & F.col("r_bullet")
+         & F.col("r_ellipsis") & F.col("r_alpha")
+         & F.col("r_stop_words")).alias("keep"))
+
+
+def _gopher_rules_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    stop_bits = " + ".join(
+        f"(CASE WHEN list_contains(ws, '{s}') THEN {1 << i} ELSE 0 END)"
+        for i, s in enumerate(_GOPHER_STOPS))
+    return f"""
+WITH s AS (SELECT url, string_split(text, chr(10)) AS ls
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+l AS (SELECT url, ls[i] AS line
+      FROM s, unnest(range(1, len(ls) + 1)) AS u(i)),
+t AS (SELECT url,
+        CASE WHEN ('0x' || substr(md5(url), 1, 7))::BIGINT % 13 = 0
+          THEN '• ' || line
+          ELSE CASE ('0x' || substr(md5(line), 1, 7))::BIGINT % 7
+            WHEN 0 THEN '• ' || line
+            WHEN 1 THEN line || '...'
+            WHEN 2 THEN line || ' #tag' ELSE line END END AS line2
+      FROM l),
+w AS (SELECT url, line2,
+        list_filter(string_split(line2, ' '), x -> x <> '') AS ws
+      FROM t),
+pl AS (SELECT url,
+         len(ws)::BIGINT AS nw,
+         coalesce(list_sum(list_transform(ws, x -> len(x))), 0)::BIGINT AS wl,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::BIGINT AS al,
+         len(list_filter(ws, x -> starts_with(x, '#')
+                                  OR contains(x, '...')))::BIGINT AS sy,
+         ({stop_bits})::BIGINT AS sm,
+         (CASE WHEN left(line2, 2) = '• ' THEN 1 ELSE 0 END)::BIGINT AS bul,
+         (CASE WHEN right(line2, 3) = '...' THEN 1 ELSE 0 END)::BIGINT AS ell
+       FROM w),
+g AS (SELECT url, count(*)::BIGINT AS n_lines, sum(nw)::BIGINT AS n_words,
+        sum(wl)::BIGINT AS sum_word_len, sum(al)::BIGINT AS n_alpha_words,
+        sum(sy)::BIGINT AS n_symbol_words,
+        sum(bul)::BIGINT AS n_bullet_lines,
+        sum(ell)::BIGINT AS n_ellipsis_lines,
+        bit_count(bit_or(sm))::BIGINT AS n_stop_words
+      FROM pl GROUP BY url),
+r AS (SELECT *,
+        (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        (sum_word_len >= 3 * n_words
+         AND sum_word_len <= 10 * n_words) AS r_mean_word_len,
+        (10 * n_symbol_words <= n_words) AS r_symbol_ratio,
+        (10 * n_bullet_lines < 9 * n_lines) AS r_bullet,
+        (10 * n_ellipsis_lines < 3 * n_lines) AS r_ellipsis,
+        (5 * n_alpha_words >= 4 * n_words) AS r_alpha,
+        (n_stop_words >= 2) AS r_stop_words
+      FROM g)
+SELECT url, n_lines, n_words, sum_word_len, n_alpha_words, n_symbol_words,
+       n_bullet_lines, n_ellipsis_lines, n_stop_words,
+       r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet, r_ellipsis,
+       r_alpha, r_stop_words,
+       (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet
+        AND r_ellipsis AND r_alpha AND r_stop_words) AS keep
+FROM r
+"""
+
+
 # ----------------- URL blocklist filtering (UT1 / RefinedWeb shape)
 
 _UF_KWS = ("bad", "fee", "ace", "dad")  # banned path substrings (hex-able)
@@ -2952,6 +3107,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_filter": q_url_filter,
     "intra_line_dedup": q_intra_line_dedup,
     "c4_line_filter": q_c4_line_filter,
+    "gopher_rules": q_gopher_rules,
     "minhash_dedup": q_minhash_dedup,
     "corpus_manifest": q_corpus_manifest,
     "cross_snapshot_minhash": q_cross_snapshot_minhash,
@@ -3001,6 +3157,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "url_filter": _url_filter_sql(),
     "intra_line_dedup": _intra_line_dedup_sql(),
     "c4_line_filter": _c4_line_filter_sql(),
+    "gopher_rules": _gopher_rules_sql(),
     "minhash_dedup": _minhash_dedup_sql(),
     "cross_snapshot_minhash": _cross_snapshot_minhash_sql(),
     "pack_sequences": _SQL_PACK_SEQUENCES,

@@ -699,3 +699,70 @@ def test_crawl_schedule_politeness_replay(spark):
                  for h, q in by_host.items()}
     big = makespans.pop("bighost.example")
     assert big == max([big, *makespans.values()])  # skewed host dominates
+
+
+def test_gopher_rules_pandas_replay(spark):
+    """Byte-exact pandas/hashlib replay of the Gopher quality gates,
+    including the md5-derived bullet/ellipsis/#tag decorations and the
+    listy-page override; every rule must fail somewhere in the corpus
+    (all fourteen branches live)."""
+    import re
+    from ksana_corpus_builder_spark.queries import stage_pages
+    from ksana_corpus_builder_spark.queries_ref import (
+        _GOPHER_STOPS, q_gopher_rules)
+    staged = stage_pages(spark, SF)
+    got = {r.url: r for r in q_gopher_rules(spark, SF).collect()}
+    pdf = pd.read_parquet(staged, columns=["url", "text"])
+    assert len(got) == len(pdf)
+    fails = {k: False for k in ("word_count", "mean_word_len",
+                                "symbol_ratio", "bullet", "ellipsis",
+                                "alpha", "stop_words")}
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    saw_listy = False
+    for _, row in pdf.iterrows():
+        listy = bucket(row.url) % 13 == 0
+        saw_listy |= listy
+        nl = nw = wl = al = sy = bul = ell = mask = 0
+        for ln in row.text.split("\n"):
+            if listy:
+                ln2 = "• " + ln
+            else:
+                b = bucket(ln) % 7
+                ln2 = ("• " + ln if b == 0 else
+                       ln + "..." if b == 1 else
+                       ln + " #tag" if b == 2 else ln)
+            ws = [w for w in ln2.split(" ") if w]
+            nl += 1
+            nw += len(ws)
+            wl += sum(len(w) for w in ws)
+            al += sum(1 for w in ws if re.search("[a-z]", w))
+            sy += sum(1 for w in ws if w.startswith("#") or "..." in w)
+            for i, s in enumerate(_GOPHER_STOPS):
+                if s in ws:
+                    mask |= 1 << i
+            bul += ln2.startswith("• ")
+            ell += ln2.endswith("...")
+        r = got[row.url]
+        assert (r.n_lines, r.n_words, r.sum_word_len) == (nl, nw, wl)
+        assert (r.n_alpha_words, r.n_symbol_words) == (al, sy)
+        assert (r.n_bullet_lines, r.n_ellipsis_lines) == (bul, ell)
+        assert r.n_stop_words == bin(mask).count("1") <= len(_GOPHER_STOPS)
+        rules = {
+            "word_count": 50 <= nw <= 100000,
+            "mean_word_len": 3 * nw <= wl <= 10 * nw,
+            "symbol_ratio": 10 * sy <= nw,
+            "bullet": 10 * bul < 9 * nl,
+            "ellipsis": 10 * ell < 3 * nl,
+            "alpha": 5 * al >= 4 * nw,
+            "stop_words": bin(mask).count("1") >= 2,
+        }
+        for k, v in rules.items():
+            assert getattr(r, f"r_{k}") == v, (row.url, k)
+            fails[k] |= not v
+        assert r.keep == all(rules.values())
+        if listy:
+            assert not r.r_bullet  # every line bulleted -> 10*nl < 9*nl
+    assert saw_listy and all(fails.values()), fails

@@ -109,6 +109,11 @@ EXPECT: dict[str, list[str]] = {
     # re-agg, which partial-combines map-side); scan prunes to (url, text)
     "c4_line_filter": ["partial_count",
                        "ReadSchema: struct<url:string,text:string>"],
+    # Gopher gates: exploded lines are tagged and word-folded per-row (no
+    # shuffle before the per-page re-agg, which partial-combines map-side
+    # incl. the stop-word bitmask bit_or); scan prunes to (url, text)
+    "gopher_rules": ["Generate", "partial_sum",
+                     "ReadSchema: struct<url:string,text:string>"],
     # datacard rollup: grouping sets Expand BEFORE the map-side partial
     # combine (the shuffle carries a few rows per set x partition)
     "corpus_datacard": ["Expand", "partial_count", "partial_sum"],
