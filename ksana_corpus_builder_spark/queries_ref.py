@@ -2925,6 +2925,83 @@ FROM r
 """
 
 
+def q_gopher_dup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher repetition gates at LINE granularity (Rae et al. 2021,
+    App. A1.1 'repetitious documents'): duplicate-line fraction <= 0.30
+    and duplicate-line CHARACTER fraction <= 0.20, both integer
+    cross-multiplied. A line's duplicate occurrences are (count - 1) per
+    distinct line — the first occurrence is original, repeats are the
+    boilerplate signal (navigation chrome, templated footers). The
+    n-gram half of Gopher's repetition family is `repetition_ngrams`;
+    together with `gopher_rules` this completes the published rule set.
+
+    100 TB shape: two map-side-combined hash aggs — (url, line) then
+    url — no window, no sort, no broadcast; grams are page-scoped so the
+    shuffle keys are skew-free. The generator's repetitive pages repeat
+    WORD blocks that rarely align to the 180-char line chop, so heavy
+    line-level duplication is derived deterministically — pages whose
+    md5(url) bucket is 0 (mod 11) get their line list DOUBLED (the
+    templated-chrome shape the rule exists to catch), the same
+    expression in both engines (the derived-input discipline)."""
+    from .queries import stage_pages
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
+    ls = F.split("text", "\n")
+    dupy = (F.conv(F.substring(F.md5(F.col("url")), 1, 7), 16, 10)
+            .cast("long") % 11) == 0
+    lines = p.select(
+        "url",
+        F.explode(F.when(dupy, F.concat(ls, ls)).otherwise(ls))
+        .alias("line"))
+    per = (lines.groupBy("url", "line")
+           .agg(F.count("*").alias("c"))
+           .select("url", "c",
+                   F.length("line").cast("long").alias("len")))
+    g = per.groupBy("url").agg(
+        F.sum("c").alias("n_lines"),
+        F.count("*").alias("n_distinct_lines"),
+        (F.sum("c") - F.count("*")).alias("dup_lines"),
+        F.sum(F.col("c") * F.col("len")).alias("line_chars"),
+        F.sum((F.col("c") - 1) * F.col("len")).alias("dup_line_chars"))
+    r_dl = (10 * F.col("dup_lines") <= 3 * F.col("n_lines")
+            ).alias("r_dup_lines")
+    r_dc = (5 * F.col("dup_line_chars") <= F.col("line_chars")
+            ).alias("r_dup_line_chars")
+    out = g.select("url", "n_lines", "n_distinct_lines", "dup_lines",
+                   "line_chars", "dup_line_chars", r_dl, r_dc)
+    return out.select(
+        "*", (F.col("r_dup_lines")
+              & F.col("r_dup_line_chars")).alias("keep"))
+
+
+def _gopher_dup_lines_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH s0 AS (SELECT url, string_split(text, chr(10)) AS ls0
+            FROM read_parquet('{STAGE_PATH}/*.parquet')),
+s AS (SELECT url,
+        CASE WHEN ('0x' || substr(md5(url), 1, 7))::BIGINT % 11 = 0
+          THEN list_concat(ls0, ls0) ELSE ls0 END AS ls
+      FROM s0),
+l AS (SELECT url, ls[i] AS line
+      FROM s, unnest(range(1, len(ls) + 1)) AS u(i)),
+per AS (SELECT url, line, count(*)::BIGINT AS c, len(line)::BIGINT AS len
+        FROM l GROUP BY url, line),
+g AS (SELECT url, sum(c)::BIGINT AS n_lines,
+        count(*)::BIGINT AS n_distinct_lines,
+        (sum(c) - count(*))::BIGINT AS dup_lines,
+        sum(c * len)::BIGINT AS line_chars,
+        sum((c - 1) * len)::BIGINT AS dup_line_chars
+      FROM per GROUP BY url)
+SELECT url, n_lines, n_distinct_lines, dup_lines, line_chars,
+       dup_line_chars,
+       (10 * dup_lines <= 3 * n_lines) AS r_dup_lines,
+       (5 * dup_line_chars <= line_chars) AS r_dup_line_chars,
+       (10 * dup_lines <= 3 * n_lines
+        AND 5 * dup_line_chars <= line_chars) AS keep
+FROM g
+"""
+
+
 # ----------------- URL blocklist filtering (UT1 / RefinedWeb shape)
 
 _UF_KWS = ("bad", "fee", "ace", "dad")  # banned path substrings (hex-able)
@@ -3108,6 +3185,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intra_line_dedup": q_intra_line_dedup,
     "c4_line_filter": q_c4_line_filter,
     "gopher_rules": q_gopher_rules,
+    "gopher_dup_lines": q_gopher_dup_lines,
     "minhash_dedup": q_minhash_dedup,
     "corpus_manifest": q_corpus_manifest,
     "cross_snapshot_minhash": q_cross_snapshot_minhash,
@@ -3158,6 +3236,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "intra_line_dedup": _intra_line_dedup_sql(),
     "c4_line_filter": _c4_line_filter_sql(),
     "gopher_rules": _gopher_rules_sql(),
+    "gopher_dup_lines": _gopher_dup_lines_sql(),
     "minhash_dedup": _minhash_dedup_sql(),
     "cross_snapshot_minhash": _cross_snapshot_minhash_sql(),
     "pack_sequences": _SQL_PACK_SEQUENCES,

@@ -766,3 +766,40 @@ def test_gopher_rules_pandas_replay(spark):
         if listy:
             assert not r.r_bullet  # every line bulleted -> 10*nl < 9*nl
     assert saw_listy and all(fails.values()), fails
+
+
+def test_gopher_dup_lines_pandas_replay(spark):
+    """Byte-exact pandas/hashlib replay of the Gopher line-repetition
+    gates, including the md5-derived doubled-line "templated chrome"
+    pages; both keep branches must fire."""
+    from ksana_corpus_builder_spark.queries import stage_pages
+    from ksana_corpus_builder_spark.queries_ref import q_gopher_dup_lines
+    staged = stage_pages(spark, SF)
+    got = {r.url: r for r in q_gopher_dup_lines(spark, SF).collect()}
+    pdf = pd.read_parquet(staged, columns=["url", "text"])
+    assert len(got) == len(pdf)
+    any_keep = any_drop = saw_dupy = False
+    for _, row in pdf.iterrows():
+        ls = row.text.split("\n")
+        dupy = int(hashlib.md5(row.url.encode()).hexdigest()[:7], 16) % 11 == 0
+        if dupy:
+            ls = ls + ls
+        saw_dupy |= dupy
+        cnt: dict[str, int] = {}
+        for ln in ls:
+            cnt[ln] = cnt.get(ln, 0) + 1
+        n = len(ls)
+        nd = len(cnt)
+        chars = sum(len(ln) for ln in ls)
+        dup_chars = sum((c - 1) * len(ln) for ln, c in cnt.items())
+        r = got[row.url]
+        assert (r.n_lines, r.n_distinct_lines, r.dup_lines) == (n, nd, n - nd)
+        assert (r.line_chars, r.dup_line_chars) == (chars, dup_chars)
+        assert r.r_dup_lines == (10 * (n - nd) <= 3 * n)
+        assert r.r_dup_line_chars == (5 * dup_chars <= chars)
+        assert r.keep == (r.r_dup_lines and r.r_dup_line_chars)
+        any_keep |= r.keep
+        any_drop |= not r.keep
+        if dupy:
+            assert not r.keep  # doubling pushes both fractions past gate
+    assert saw_dupy and any_keep and any_drop

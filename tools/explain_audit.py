@@ -114,6 +114,10 @@ EXPECT: dict[str, list[str]] = {
     # incl. the stop-word bitmask bit_or); scan prunes to (url, text)
     "gopher_rules": ["Generate", "partial_sum",
                      "ReadSchema: struct<url:string,text:string>"],
+    # Gopher line-repetition gates: two map-side-combined hash aggs
+    # ((url, line) then url), no window/sort/broadcast
+    "gopher_dup_lines": ["Generate", "partial_count", "partial_sum",
+                         "ReadSchema: struct<url:string,text:string>"],
     # datacard rollup: grouping sets Expand BEFORE the map-side partial
     # combine (the shuffle carries a few rows per set x partition)
     "corpus_datacard": ["Expand", "partial_count", "partial_sum"],
