@@ -60,7 +60,7 @@ HEADLINE = (
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
     "dup_span_cut", "bpe_fertility", "crawl_schedule", "gopher_rules",
-    "gopher_dup_lines",
+    "gopher_dup_lines", "normalized_dedup",
 )
 
 

@@ -1039,19 +1039,20 @@ _DRIVER_WINDOW = [
     # bpe_fertility and crawl_schedule enter; scrub_phone_fixture,
     # media_pixels and decontaminate rotate out (all three D4-green in
     # CORRECTNESS_r04, unchanged since). gopher_rules + gopher_dup_lines
-    # (last round-5 additions) enter; stream_sliding and minhash_md5
-    # rotate out (both D4-green in CORRECTNESS_r04, unchanged since).
+    # + normalized_dedup (last round-5 additions) enter; stream_sliding,
+    # minhash_md5 and simhash_md5 rotate out (all D4-green in
+    # CORRECTNESS_r04, unchanged since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
     "dup_span_cut", "bpe_fertility", "crawl_schedule", "gopher_rules",
-    "gopher_dup_lines",
+    "gopher_dup_lines", "normalized_dedup",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
     # to free the one slot the 11th round-4 query needs)
     # round-3 additions slot in here (keep the window <= 50 entries)
-    "simhash_md5", "ivf_kmeans_topk",
+    "ivf_kmeans_topk",
     "repetition_ngrams", "tfidf_topk", "stream_quality",
     "ccnet_buckets", "text_embed_topk", "scrub_rule_counts",
     # round-4 additions (oracle-backed first)

@@ -3002,6 +3002,65 @@ FROM g
 """
 
 
+def q_normalized_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-exact dedup on NORMALIZED text (the FineWeb/Dolma fuzzy-exact
+    step between byte-exact and MinHash): lowercase, strip every
+    non-letter to a space, collapse whitespace, trim — then group on the
+    md5 of the normalized form and keep min(url) per group. Catches
+    reformatted mirrors (case, punctuation, digit, whitespace variants)
+    that byte-exact `exact_dedup` misses; 56/400 staged pages collapse
+    naturally, so both branches are live with no derived input.
+
+    Empty-normal-form pages (e.g. fully non-Latin after the ASCII
+    normalize) are keyed on their own url instead of the shared empty
+    hash — at web scale the empty-norm group is corpus-sized and would
+    be THE skew key; real pipelines route those to the script-specific
+    path rather than dedup them here.
+
+    100 TB shape: normalization is a per-row codegen map (no HOF); the
+    group key is a 32-hex md5, so the two shuffles (groupBy + re-join)
+    carry 16-byte keys, never the normalized text; both sides of the
+    re-join are corpus-sized and doc-keyed — a plain shuffle hash join,
+    no broadcast (the dup_spans / line_dedup key discipline)."""
+    from .queries import stage_pages
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
+    norm = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), "[^a-z ]", " "), " +", " "))
+    keyed = p.select(
+        "url",
+        F.when(F.length(norm) > 0, F.md5(norm))
+        .otherwise(F.md5(F.concat(F.lit("u:"), F.col("url"))))
+        .alias("norm_key"))
+    groups = keyed.groupBy("norm_key").agg(
+        F.count("*").alias("group_size"),
+        F.min("url").alias("keeper"))
+    return (keyed.join(groups, "norm_key")
+            .select("url", "norm_key",
+                    F.col("group_size").cast("long").alias("group_size"),
+                    "keeper",
+                    (F.col("url") != F.col("keeper")).alias("is_dup")))
+
+
+def _normalized_dedup_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH n AS (SELECT url,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+k AS (SELECT url,
+        CASE WHEN len(norm) > 0 THEN md5(norm)
+             ELSE md5('u:' || url) END AS norm_key
+      FROM n),
+g AS (SELECT norm_key, count(*)::BIGINT AS group_size,
+        min(url) AS keeper
+      FROM k GROUP BY norm_key)
+SELECT k.url, k.norm_key, g.group_size, g.keeper,
+       (k.url <> g.keeper) AS is_dup
+FROM k JOIN g USING (norm_key)
+"""
+
+
 # ----------------- URL blocklist filtering (UT1 / RefinedWeb shape)
 
 _UF_KWS = ("bad", "fee", "ace", "dad")  # banned path substrings (hex-able)
@@ -3186,6 +3245,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_filter": q_c4_line_filter,
     "gopher_rules": q_gopher_rules,
     "gopher_dup_lines": q_gopher_dup_lines,
+    "normalized_dedup": q_normalized_dedup,
     "minhash_dedup": q_minhash_dedup,
     "corpus_manifest": q_corpus_manifest,
     "cross_snapshot_minhash": q_cross_snapshot_minhash,
@@ -3237,6 +3297,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "c4_line_filter": _c4_line_filter_sql(),
     "gopher_rules": _gopher_rules_sql(),
     "gopher_dup_lines": _gopher_dup_lines_sql(),
+    "normalized_dedup": _normalized_dedup_sql(),
     "minhash_dedup": _minhash_dedup_sql(),
     "cross_snapshot_minhash": _cross_snapshot_minhash_sql(),
     "pack_sequences": _SQL_PACK_SEQUENCES,

@@ -803,3 +803,36 @@ def test_gopher_dup_lines_pandas_replay(spark):
         if dupy:
             assert not r.keep  # doubling pushes both fractions past gate
     assert saw_dupy and any_keep and any_drop
+
+
+def test_normalized_dedup_pandas_replay(spark):
+    """Byte-exact pandas/re replay of the normalized near-exact dedup:
+    same normalization, same md5 keys, same min-url keeper; dup groups
+    must exist naturally (no derived input) and every group keeps
+    exactly one page."""
+    import re
+    from ksana_corpus_builder_spark.queries import stage_pages
+    from ksana_corpus_builder_spark.queries_ref import q_normalized_dedup
+    staged = stage_pages(spark, SF)
+    got = {r.url: r for r in q_normalized_dedup(spark, SF).collect()}
+    pdf = pd.read_parquet(staged, columns=["url", "text"])
+    assert len(got) == len(pdf)
+    groups: dict[str, list[str]] = {}
+    for _, row in pdf.iterrows():
+        norm = re.sub(" +", " ",
+                      re.sub("[^a-z ]", " ", row.text.lower())).strip()
+        key = (hashlib.md5(norm.encode()).hexdigest() if norm
+               else hashlib.md5(f"u:{row.url}".encode()).hexdigest())
+        groups.setdefault(key, []).append(row.url)
+    saw_dup_group = False
+    for key, urls in groups.items():
+        keeper = min(urls)
+        saw_dup_group |= len(urls) > 1
+        for u in urls:
+            r = got[u]
+            assert r.norm_key == key
+            assert r.group_size == len(urls)
+            assert r.keeper == keeper
+            assert r.is_dup == (u != keeper)
+        assert sum(1 for u in urls if not got[u].is_dup) == 1
+    assert saw_dup_group

@@ -118,6 +118,10 @@ EXPECT: dict[str, list[str]] = {
     # ((url, line) then url), no window/sort/broadcast
     "gopher_dup_lines": ["Generate", "partial_count", "partial_sum",
                          "ReadSchema: struct<url:string,text:string>"],
+    # normalized near-exact dedup: per-row codegen normalize (no HOF),
+    # 16-byte md5 group key, map-side-combined group agg
+    "normalized_dedup": ["partial_count", "partial_min",
+                         "ReadSchema: struct<url:string,text:string>"],
     # datacard rollup: grouping sets Expand BEFORE the map-side partial
     # combine (the shuffle carries a few rows per set x partition)
     "corpus_datacard": ["Expand", "partial_count", "partial_sum"],
