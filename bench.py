@@ -61,6 +61,8 @@ HEADLINE = (
     "anchor_texts", "robots_filter",
     "dup_span_cut", "bpe_fertility", "crawl_schedule", "gopher_rules",
     "gopher_dup_lines", "normalized_dedup",
+    "redirect_resolve", "token_budget_mix", "shard_manifest",
+    "mojibake_flags",
 )
 
 

@@ -92,18 +92,35 @@ def doc_offsets_hierarchical(tokens: DataFrame, id_col: str = "doc_id",
     in tests at a synthetic 2^62 id) and broadcast-add.
     """
     counts = tokens.groupBy(id_col).agg(F.count("*").alias("n_tok"))
-    chunked = counts.withColumn(
+    return measure_offsets_hierarchical(counts, id_col=id_col,
+                                        measure_col="n_tok", gap=gap,
+                                        chunk_width=chunk_width)
+
+
+def measure_offsets_hierarchical(per_doc: DataFrame, id_col: str = "doc_id",
+                                 measure_col: str = "n_tok",
+                                 gap: int = DOC_GAP,
+                                 chunk_width: int = 1 << 20) -> DataFrame:
+    """WEIGHTED form of the 3-level prefix sum: `per_doc` is already one
+    row per id carrying an arbitrary long measure (token count, byte
+    size, ...); returns (id_col, tpos_offset) where tpos_offset is the
+    EXCLUSIVE prefix sum of the measure in id order plus `gap` per
+    preceding id. :func:`doc_offsets_hierarchical` is exactly this over
+    per-doc row counts; shard/byte-offset assignment feeds byte sizes
+    instead. Same chunk bounds, same zero-global-sort plan."""
+    chunked = per_doc.withColumn(
         "chunk", F.floor(F.col(id_col) / F.lit(int(chunk_width))).cast("long"))
     w_in = (Window.partitionBy("chunk").orderBy(id_col)
             .rowsBetween(Window.unboundedPreceding, -1))
     w_rn = Window.partitionBy("chunk").orderBy(id_col)
     local = chunked.select(
         id_col, "chunk",
-        F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)).alias("local_sum"),
+        F.coalesce(F.sum(measure_col).over(w_in), F.lit(0)).alias("local_sum"),
         (F.row_number().over(w_rn) - 1).alias("local_rank"),
     )
     chunk_tot = (chunked.groupBy("chunk")
-                 .agg(F.sum("n_tok").alias("tot"), F.count("*").alias("n_docs")))
+                 .agg(F.sum(measure_col).alias("tot"),
+                      F.count("*").alias("n_docs")))
     chunk_off = _prefix_over_chunks(chunk_tot, ["tot", "n_docs"], chunk_width)
     return (
         local.join(F.broadcast(chunk_off), "chunk")

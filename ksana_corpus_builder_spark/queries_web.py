@@ -877,6 +877,282 @@ FROM r
 """
 
 
+# ----------------- redirect-chain resolution (pointer doubling)
+
+_RR_ROUNDS = 3  # resolves chains up to 2^3 = 8 hops; synthetic max is 7
+
+
+def q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Resolve every url's redirect CHAIN to its final target — the
+    canonicalization step a crawl frontier runs before dedup (http ->
+    https -> www -> path rewrites routinely stack several hops).
+    Deterministic edge synthesis in the `pagerank` convention: doc_id %
+    8 == 0 is terminal (self-loop, 0 hops), every other doc redirects to
+    doc_id - 1 — chain lengths 0..7, every length class populated.
+    Resolution is `operators/redirects.resolve_chains` pointer doubling:
+    {r} rounds of composing the hop function with itself resolve any
+    chain up to 2^{r} hops. Output per doc: final target, true hop
+    count, and the redirect flag.
+
+    100 TB shape: O(log max_chain) rounds, each ONE hash-partitioned
+    shuffle self-join on the current-target key between two corpus-sized
+    (src, nxt, hops) long-triple sides — no broadcast, no collect, no
+    per-hop linear loop (the dedup_components large-star discipline on a
+    functional graph). The oracle replays the same {r} compositions as
+    unrolled CTE self-joins."""
+    from .operators.redirects import resolve_chains
+    d = load(spark, sf, "documents").select("doc_id")
+    terminal = F.col("doc_id") % 8 == 0
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        F.when(terminal, F.col("doc_id"))
+        .otherwise(F.col("doc_id") - 1).alias("nxt"),
+        F.when(terminal, F.lit(0)).otherwise(F.lit(1))
+        .cast("long").alias("hops"))
+    r = resolve_chains(edges, _RR_ROUNDS)
+    return r.select(F.col("src").alias("doc_id"),
+                    F.col("nxt").cast("long").alias("final_id"),
+                    F.col("hops").cast("long").alias("hops"),
+                    (F.col("hops") > 0).alias("was_redirect"))
+
+
+q_redirect_resolve.__doc__ = q_redirect_resolve.__doc__.format(r=_RR_ROUNDS)
+
+
+def _redirect_resolve_sql() -> str:
+    parts = ["""
+WITH f0 AS (SELECT doc_id AS src,
+        CASE WHEN doc_id % 8 = 0 THEN doc_id ELSE doc_id - 1 END AS nxt,
+        (CASE WHEN doc_id % 8 = 0 THEN 0 ELSE 1 END)::BIGINT AS hops
+      FROM documents)"""]
+    for k in range(1, _RR_ROUNDS + 1):
+        parts.append(f""",
+f{k} AS (SELECT a.src, b.nxt, (a.hops + b.hops)::BIGINT AS hops
+       FROM f{k - 1} a JOIN f{k - 1} b ON a.nxt = b.src)""")
+    parts.append(f"""
+SELECT src AS doc_id, nxt::BIGINT AS final_id, hops,
+       (hops > 0) AS was_redirect
+FROM f{_RR_ROUNDS}
+""")
+    return "".join(parts)
+
+
+# ----------------- token-budget data mix (token-weighted domain_mix)
+
+_TBM_SHARE = 2  # global budget = total corpus tokens div 2
+
+
+def q_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget allocation across sources — the mix step real
+    pretraining recipes run on TOKENS, not doc counts (a source's value
+    to the model is its token mass; `domain_mix` rebalances documents,
+    this rebalances the budget The-Pile/Dolma-style). Each source gets
+    an integer tier weight t_i (same (suffix % 4) + 1 convention as
+    domain_mix); the global budget B = total_tokens div {share} splits
+    as quota_i = B * t_i div sum(t); docs are admitted per source in
+    hash order (md5 rank, doc_id tie-break) while their CUMULATIVE token
+    count fits the quota. Output per doc: token count, running total,
+    source quota, admitted flag.
+
+    100 TB shape: token counts are a per-row codegen map (split size, no
+    explode — raw text never shuffles); per-source totals are one
+    map-side-combined agg over a handful of keys; the budget scalar and
+    per-source quotas broadcast back (dim-sized); admission is one
+    bounded window per source partition (at extreme scale the cumulative
+    cutoff becomes a quantile-estimated token-rank threshold — no global
+    sort either way)."""
+    from .queries_ref import _idiv
+    d = load(spark, sf, "documents").select("doc_id", "source", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    per = d.select("doc_id", "source",
+                   F.size(toks).cast("long").alias("n_tok"))
+    t_w = (F.regexp_extract("source", r"(\d+)$", 1).cast("long") % 4 + 1)
+    counts = (per.groupBy("source").agg(F.sum("n_tok").alias("c"))
+              .select("source", "c", t_w.alias("t")))
+    tot = counts.agg(F.sum("c").alias("tc"), F.sum("t").alias("tt"))
+    quota = (counts.crossJoin(F.broadcast(tot))
+             .select("source",
+                     _idiv(_idiv(F.col("tc"), F.lit(_TBM_SHARE))
+                           * F.col("t"), F.col("tt")).alias("quota")))
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (per.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+            .join(F.broadcast(quota), "source")
+            .select("doc_id", "source", "n_tok", "cum_tok", "quota",
+                    (F.col("cum_tok") <= F.col("quota")).alias("admitted")))
+
+
+q_token_budget_mix.__doc__ = q_token_budget_mix.__doc__.format(
+    share=_TBM_SHARE)
+
+_SQL_TOKEN_BUDGET_MIX = f"""
+WITH p AS (SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '),
+                 x -> x <> ''))::BIGINT AS n_tok
+           FROM documents),
+c AS (SELECT source, sum(n_tok)::BIGINT AS c,
+        (regexp_extract(source, '(\\d+)$', 1)::BIGINT % 4 + 1) AS t
+      FROM p GROUP BY source),
+tot AS (SELECT sum(c)::BIGINT AS tc, sum(t)::BIGINT AS tt FROM c),
+q AS (SELECT source, ((tc // {_TBM_SHARE}) * t // tt)::BIGINT AS quota
+      FROM c, tot),
+r AS (SELECT doc_id, source, n_tok,
+        sum(n_tok) OVER (PARTITION BY source
+          ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT AS cum_tok
+      FROM p)
+SELECT r.doc_id, r.source, r.n_tok, r.cum_tok, q.quota,
+       (r.cum_tok <= q.quota) AS admitted
+FROM r JOIN q USING (source)
+"""
+
+
+# ----------------- output shard assignment + manifest
+
+_SHARD_BYTES = 1 << 14  # 16 KiB shards at test scale (prod: 256 MiB+)
+
+
+def q_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Size-bounded output SHARD assignment + manifest — the writer step
+    after filtering: concatenate docs in id order, cut a new shard every
+    {sb} bytes (newline-delimited), and emit one manifest row per shard
+    with doc count, byte size, id range, and an integer content
+    checksum (sum of each doc's 28-bit md5 prefix — order-free, so the
+    manifest verifies shard content without re-reading it).
+
+    100 TB shape: byte offsets come from the WEIGHTED form of the 3-level
+    super-chunked prefix sum (`operators/tpos.measure_offsets_hierarchical`
+    over per-doc byte sizes, gap=0) — every window chunk-bounded, no
+    global sort; the offsets->docs join is the plain size-aware doc-keyed
+    join (never a doc-dim broadcast hint, VERDICT r4 #1); the manifest
+    itself is one map-side-combined hash agg on the shard key. The
+    oracle replays the offsets as a flat SQL window sum — the same
+    equivalence the operator's own tests pin."""
+    from .operators.tpos import measure_offsets_hierarchical
+    from .queries_ref import _idiv
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    sized = d.select(
+        "doc_id",
+        (F.octet_length("text") + 1).cast("long").alias("n_bytes"),
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 7),
+               16, 10).cast("long").alias("h"))
+    offs = measure_offsets_hierarchical(sized, measure_col="n_bytes", gap=0)
+    assigned = (sized.join(offs, "doc_id")
+                .select("doc_id", "n_bytes", "h",
+                        _idiv(F.col("tpos_offset"),
+                              F.lit(_SHARD_BYTES)).alias("shard_id")))
+    return (assigned.groupBy("shard_id")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_bytes").cast("long").alias("total_bytes"),
+                 F.min("doc_id").cast("long").alias("first_doc"),
+                 F.max("doc_id").cast("long").alias("last_doc"),
+                 F.sum("h").cast("long").alias("checksum")))
+
+
+q_shard_manifest.__doc__ = q_shard_manifest.__doc__.format(sb=_SHARD_BYTES)
+
+_SQL_SHARD_MANIFEST = f"""
+WITH s AS (SELECT doc_id, (strlen(text) + 1)::BIGINT AS n_bytes,
+             ('0x' || substr(md5(text), 1, 7))::BIGINT AS h
+           FROM documents),
+o AS (SELECT doc_id, n_bytes, h,
+        coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          AS off
+      FROM s)
+SELECT (off // {_SHARD_BYTES})::BIGINT AS shard_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_bytes)::BIGINT AS total_bytes,
+       min(doc_id)::BIGINT AS first_doc,
+       max(doc_id)::BIGINT AS last_doc,
+       sum(h)::BIGINT AS checksum
+FROM o GROUP BY 1
+"""
+
+
+# ----------------- mojibake / encoding-damage detection
+
+_MJ_UTF8 = "Ã¡"          # 'Ã¡' — á's UTF-8 bytes misread as cp1252
+_MJ_WIN = "â€™"     # 'â€™' — ’ (U+2019) misread as cp1252
+_MJ_REPL = "�"                # '�' — the replacement char itself
+_MJ_PPM = 5000                     # flag threshold, parts-per-million bytes
+
+
+def q_mojibake_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Mojibake / encoding-damage detection — the charset-quality gate
+    web pipelines run before language ID (UTF-8 bytes misdecoded as
+    cp1252 leave 'Ã.'/'â€.' digraphs; lossy transcodes leave U+FFFD).
+    The staged generator emits clean text, so damage is injected
+    DETERMINISTICALLY inside the query (the scrub_phone_fixture
+    discipline — both engines apply the same corruption, so every
+    detector branch fires): md5(url) bucket 0-2 gets the double-UTF-8
+    treatment (every 'a' -> 'Ã¡'), 3-5 the cp1252 punctuation treatment
+    (every 'o' -> 'â€™'), 6-8 replacement-char damage (every 'i' ->
+    U+FFFD), the rest stay clean. Per page: the three indicator counts,
+    a byte-normalized severity score (ppm, integer), and the flag at
+    >= {ppm} ppm.
+
+    100 TB shape: a pure per-row codegen map (replace + regexp_count,
+    no HOF, no shuffle, no UDF) — the scan's pushed-projection is (url,
+    text) and the stage fuses into whatever runs next."""
+    from .queries import stage_pages
+    from .queries_ref import _idiv
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
+    b = F.substring(F.md5("url"), 1, 1)
+    dmg = (F.when(b.isin("0", "1", "2"),
+                  F.replace(F.col("text"), F.lit("a"), F.lit(_MJ_UTF8)))
+           .when(b.isin("3", "4", "5"),
+                 F.replace(F.col("text"), F.lit("o"), F.lit(_MJ_WIN)))
+           .when(b.isin("6", "7", "8"),
+                 F.replace(F.col("text"), F.lit("i"), F.lit(_MJ_REPL)))
+           .otherwise(F.col("text")))
+    t = p.select("url", dmg.alias("t"))
+    cnt = t.select(
+        "url",
+        F.regexp_count("t", F.lit("Ã.")).cast("long")
+        .alias("n_double_utf8"),
+        F.regexp_count("t", F.lit("â€.")).cast("long")
+        .alias("n_win1252"),
+        F.regexp_count("t", F.lit(_MJ_REPL)).cast("long").alias("n_repl"),
+        F.octet_length("t").cast("long").alias("n_bytes"))
+    score = _idiv(
+        F.lit(1_000_000) * (F.col("n_double_utf8") * 2
+                            + F.col("n_win1252") * 3 + F.col("n_repl")),
+        F.greatest(F.col("n_bytes"), F.lit(1)))
+    return cnt.select("url", "n_double_utf8", "n_win1252", "n_repl",
+                      score.alias("mojibake_ppm"),
+                      (score >= _MJ_PPM).alias("flagged"))
+
+
+q_mojibake_flags.__doc__ = q_mojibake_flags.__doc__.format(ppm=_MJ_PPM)
+
+
+def _mojibake_flags_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH d AS (SELECT url,
+        CASE WHEN substr(md5(url), 1, 1) IN ('0', '1', '2')
+               THEN replace(text, 'a', '{_MJ_UTF8}')
+             WHEN substr(md5(url), 1, 1) IN ('3', '4', '5')
+               THEN replace(text, 'o', '{_MJ_WIN}')
+             WHEN substr(md5(url), 1, 1) IN ('6', '7', '8')
+               THEN replace(text, 'i', '{_MJ_REPL}')
+             ELSE text END AS t
+      FROM read_parquet('{STAGE_PATH}/*.parquet')),
+c AS (SELECT url,
+        len(regexp_extract_all(t, 'Ã.'))::BIGINT AS n_double_utf8,
+        len(regexp_extract_all(t, 'â€.'))::BIGINT AS n_win1252,
+        len(regexp_extract_all(t, '{_MJ_REPL}'))::BIGINT AS n_repl,
+        strlen(t)::BIGINT AS n_bytes
+      FROM d)
+SELECT url, n_double_utf8, n_win1252, n_repl,
+       ((1000000 * (n_double_utf8 * 2 + n_win1252 * 3 + n_repl))
+        // greatest(n_bytes, 1))::BIGINT AS mojibake_ppm,
+       ((1000000 * (n_double_utf8 * 2 + n_win1252 * 3 + n_repl))
+        // greatest(n_bytes, 1) >= {_MJ_PPM}) AS flagged
+FROM c
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -891,6 +1167,10 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_texts": q_anchor_texts,
     "robots_filter": q_robots_filter,
     "crawl_schedule": q_crawl_schedule,
+    "redirect_resolve": q_redirect_resolve,
+    "token_budget_mix": q_token_budget_mix,
+    "shard_manifest": q_shard_manifest,
+    "mojibake_flags": q_mojibake_flags,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -905,4 +1185,8 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "anchor_texts": _SQL_ANCHOR_TEXTS,
     "robots_filter": _robots_filter_sql(),
     "crawl_schedule": _crawl_schedule_sql(),
+    "redirect_resolve": _redirect_resolve_sql(),
+    "token_budget_mix": _SQL_TOKEN_BUDGET_MIX,
+    "shard_manifest": _SQL_SHARD_MANIFEST,
+    "mojibake_flags": _mojibake_flags_sql(),
 }

@@ -334,3 +334,36 @@ def test_star_components_chain_logarithmic_rounds(spark):
     assert stats["rounds"] <= 30, stats
     comps = out.select("component").distinct().collect()
     assert [r.component for r in comps] == [0]
+
+
+def test_measure_offsets_weighted_matches_flat_window(spark):
+    """The weighted 3-level prefix sum over arbitrary per-doc measures
+    (byte sizes) equals the flat exclusive window sum for every chunk
+    width — the equivalence q_shard_manifest's oracle replays in SQL."""
+    rows = [(i * 11 + 2, (i % 7) * 13 + 1) for i in range(30)]
+    per = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "n_bytes"]))
+    want, acc = {}, 0
+    for doc_id, m in sorted(rows):
+        want[doc_id] = acc
+        acc += m
+    for width in (1, 4, 1 << 20):
+        got = {r.doc_id: r.tpos_offset
+               for r in tpos.measure_offsets_hierarchical(
+                   per, measure_col="n_bytes", gap=0,
+                   chunk_width=width).collect()}
+        assert got == want, f"chunk_width={width}"
+
+
+def test_measure_offsets_gap_and_count_delegation(spark):
+    """doc_offsets_hierarchical is exactly the weighted form over row
+    counts — pin the delegation so the refactor can never drift."""
+    d = _docs(spark, [(i, "w " * ((i % 4) + 1)) for i in range(12)])
+    tk = tokens.word_tokens(d)
+    counts = tk.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = {r.doc_id: r.tpos_offset
+         for r in tpos.doc_offsets_hierarchical(tk, gap=500).collect()}
+    b = {r.doc_id: r.tpos_offset
+         for r in tpos.measure_offsets_hierarchical(
+             counts, measure_col="n_tok", gap=500).collect()}
+    assert a == b

@@ -184,6 +184,21 @@ EXPECT: dict[str, list[str]] = {
     # alone
     "crawl_schedule": ["Window", "hashpartitioning(host",
                        "ReadSchema: struct<url:string>"],
+    # round 5 (closing): pointer-doubling redirect resolution — log-round
+    # self-joins on long keys, scan prunes to doc_id alone; join mode is
+    # size-aware (see EXPECT_NOHINT)
+    "redirect_resolve": ["Join", "ReadSchema: struct<doc_id:bigint>"],
+    # round 5 (closing): token counts partial-combine map-side, the
+    # dim-sized per-source quota broadcasts back, admission is one
+    # source-partitioned window
+    "token_budget_mix": ["BroadcastHashJoin", "Window", "partial_sum"],
+    # round 5 (closing): byte offsets from the chunk-bounded weighted
+    # prefix sum (no global window), manifest agg partial-combines
+    "shard_manifest": ["Arguments: [chunk", "partial_count",
+                       "partial_sum"],
+    # round 5 (closing): mojibake detection is a pure per-row codegen map
+    # (replace + regexp_count) — no shuffle; scan prunes to (url, text)
+    "mojibake_flags": ["ReadSchema: struct<url:string,text:string>"],
 }
 
 # Round 5 (VERDICT r4 #1/#3): the doc-dim offsets->tokens join and the
@@ -204,6 +219,12 @@ EXPECT_NOHINT: dict[str, list[str]] = {
     # (bloom_dedup) is NOT here by design — its broadcast is a fixed-size
     # configuration constant, the one case a hint is the correct plan
     "lm_train_score": ["SortMergeJoin"],
+    # round 5 (closing): both corpus-sized sides of every pointer-doubling
+    # round carry no hint and must demote
+    "redirect_resolve": ["SortMergeJoin"],
+    # round 5 (closing): the byte-offsets->docs join demotes; the
+    # chunk-dim totals joins inside the prefix sum stay hinted by design
+    "shard_manifest": ["SortMergeJoin", "BroadcastHashJoin"],
 }
 
 
