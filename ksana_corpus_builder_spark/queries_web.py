@@ -1153,6 +1153,125 @@ FROM c
 """
 
 
+# ----------------- HITS hub/authority scores (link-graph quality prior)
+
+_HITS_S = 1_000_000  # L-inf normalization target after each half-step
+_HITS_ITERS = 2
+# Adaptive, ANSI-safe at ANY node count (the pagerank discipline,
+# VERDICT r4 #4 applied from birth): normalized scores are <= S and the
+# graph has exactly 2N edges, so a half-step aggregation sums at most
+# 2N contributions of value <= S — bound 2*N*S <= 2^62 needs
+# S <= 2^61 div N. Normalization avoids the (raw * S) product (which
+# would need S^2 headroom): divide the NORM down instead —
+# q = ceil(max_raw / S), score = raw div q — every intermediate stays
+# <= max_raw <= 2*N*S. Same integer formula verbatim in both engines.
+_HITS_S_EXPR = f"greatest(1, least({_HITS_S}, {1 << 61} div greatest(n, 1)))"
+_HITS_S_SQL = f"greatest(1, least({_HITS_S}, {1 << 61} // greatest(n, 1)))"
+
+
+def hits_scale(n: int) -> int:
+    """Python twin of _HITS_S_EXPR / _HITS_S_SQL (numpy replay tests)."""
+    return max(1, min(_HITS_S, (1 << 61) // max(n, 1)))
+
+
+def q_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999) over the skewed
+    deterministic link graph — the second classic link-quality prior
+    next to `pagerank` (crawl frontiers combine both: PageRank ranks
+    global endorsement, HITS separates DIRECTORY pages that point at
+    good content from the content itself). Edge synthesis is the
+    `anchor_texts` convention: one affine family (uniform permutation
+    mod N) + one QUADRATIC family (heavy-tailed in-degree, some docs
+    receive no links), so hub and authority genuinely diverge.
+    {it} full iterations in exact BIGINT with L-infinity normalization
+    per half-step (a <- sum of in-neighbor hubs, h <- sum of
+    out-neighbor authorities, each rescaled to <= S by integer division
+    with q = ceil(max/S)) — real HITS normalizes each half-step too,
+    just in L2/float; max-norm keeps the fixpoint structure and the
+    whole recurrence replayable bit-for-bit as unrolled DuckDB CTEs.
+
+    100 TB shape: per half-step ONE shuffle — edges hash-partitioned by
+    the gather key for the sum (map-side partial combine) + a join back
+    to the node list; the norm is an O(1)-row max aggregate broadcast
+    (never a collect), the scale S adapts so no intermediate can pass
+    2^62 at any N, and the edge table re-derives from the node scan so
+    nothing corpus-sized persists between iterations."""
+    d = load(spark, sf, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n"))
+    dn = (d.crossJoin(F.broadcast(n))
+          .withColumn("s", F.expr(_HITS_S_EXPR)))
+    edges = (dn.select(F.col("doc_id").alias("src"),
+                       ((F.col("doc_id") * 73 + 11) % F.col("n")).alias("dst"))
+             .unionAll(dn.select(
+                 F.col("doc_id").alias("src"),
+                 (((F.col("doc_id") % 997) * (F.col("doc_id") % 983) + 7)
+                  % F.col("n")).alias("dst"))))
+
+    def norm(raw: DataFrame, key: str, out: str) -> DataFrame:
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return (dn.join(raw, dn.doc_id == raw[key], "left")
+                .crossJoin(F.broadcast(mx))
+                .select(dn.doc_id,
+                        F.expr("coalesce(raw, 0L) div "
+                               "greatest((mx + s - 1) div s, 1L)")
+                        .cast("long").alias(out)))
+
+    hub = dn.select("doc_id", F.col("s").cast("long").alias("h"))
+    auth = None
+    for _ in range(_HITS_ITERS):
+        araw = (edges.join(hub, edges.src == hub.doc_id)
+                .groupBy("dst").agg(F.sum("h").alias("raw")))
+        auth = norm(araw, "dst", "a")
+        hraw = (edges.join(auth, edges.dst == auth.doc_id)
+                .groupBy("src").agg(F.sum("a").alias("raw")))
+        hub = norm(hraw, "src", "h")
+    return (auth.join(hub, "doc_id")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("a").alias("authority"), F.col("h").alias("hub")))
+
+
+q_hits_scores.__doc__ = q_hits_scores.__doc__.format(it=_HITS_ITERS)
+
+
+def _hits_sql() -> str:
+    steps = []
+    prev_h = "h0"
+    final_a = None
+    for k in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+a{k}r AS (SELECT e.dst AS k, sum({prev_h}.h) AS raw
+          FROM e JOIN {prev_h} ON e.src = {prev_h}.doc_id GROUP BY e.dst),
+a{k}m AS (SELECT max(raw) AS mx FROM a{k}r),
+a{k} AS (SELECT d.doc_id,
+           (coalesce(a{k}r.raw, 0)
+            // greatest((a{k}m.mx + sc.s - 1) // sc.s, 1))::BIGINT AS a
+         FROM documents d CROSS JOIN sc CROSS JOIN a{k}m
+         LEFT JOIN a{k}r ON d.doc_id = a{k}r.k),
+h{k}r AS (SELECT e.src AS k, sum(a{k}.a) AS raw
+          FROM e JOIN a{k} ON e.dst = a{k}.doc_id GROUP BY e.src),
+h{k}m AS (SELECT max(raw) AS mx FROM h{k}r),
+h{k} AS (SELECT d.doc_id,
+           (coalesce(h{k}r.raw, 0)
+            // greatest((h{k}m.mx + sc.s - 1) // sc.s, 1))::BIGINT AS h
+         FROM documents d CROSS JOIN sc CROSS JOIN h{k}m
+         LEFT JOIN h{k}r ON d.doc_id = h{k}r.k)""")
+        prev_h, final_a = f"h{k}", f"a{k}"
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT {_HITS_S_SQL} AS s FROM n),
+e AS (SELECT doc_id AS src, (doc_id * 73 + 11) % n.n AS dst
+        FROM documents, n
+      UNION ALL
+      SELECT doc_id, ((doc_id % 997) * (doc_id % 983) + 7) % n.n
+        FROM documents, n),
+h0 AS (SELECT doc_id, sc.s::BIGINT AS h FROM documents, sc),
+{",".join(steps)}
+SELECT {final_a}.doc_id::BIGINT AS doc_id, {final_a}.a AS authority,
+       {prev_h}.h AS hub
+FROM {final_a} JOIN {prev_h} USING (doc_id)
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1171,6 +1290,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mix": q_token_budget_mix,
     "shard_manifest": q_shard_manifest,
     "mojibake_flags": q_mojibake_flags,
+    "hits_scores": q_hits_scores,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -1189,4 +1309,5 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "token_budget_mix": _SQL_TOKEN_BUDGET_MIX,
     "shard_manifest": _SQL_SHARD_MANIFEST,
     "mojibake_flags": _mojibake_flags_sql(),
+    "hits_scores": _hits_sql(),
 }

@@ -836,3 +836,55 @@ def test_normalized_dedup_pandas_replay(spark):
             assert r.is_dup == (u != keeper)
         assert sum(1 for u in urls if not got[u].is_dup) == 1
     assert saw_dup_group
+
+
+def test_hits_matches_numpy_replay(spark):
+    """The distributed integer HITS (max-norm half-steps) equals a
+    straight-line numpy replay of the same recurrence."""
+    rows = qw.q_hits_scores(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    s = qw.hits_scale(n)
+    assert s == qw._HITS_S  # test-scale N keeps the full cap
+    src = np.arange(n, dtype=np.int64)
+    dsts = [(src * 73 + 11) % n, ((src % 997) * (src % 983) + 7) % n]
+    h = np.full(n, s, dtype=np.int64)
+
+    def norm(raw):
+        q = max((int(raw.max()) + s - 1) // s, 1)
+        return raw // q
+
+    a = None
+    for _ in range(qw._HITS_ITERS):
+        araw = np.zeros(n, dtype=np.int64)
+        for dst in dsts:
+            np.add.at(araw, dst, h)
+        a = norm(araw)
+        hraw = np.zeros(n, dtype=np.int64)
+        for dst in dsts:
+            np.add.at(hraw, src, a[dst])
+        h = norm(hraw)
+    got = {r.doc_id: r for r in rows}
+    for i in range(n):
+        assert got[i].authority == a[i], (i, got[i].authority, a[i])
+        assert got[i].hub == h[i], (i, got[i].hub, h[i])
+    # the quadratic family skews in-degree (the affine one is a
+    # permutation, so at small N every doc keeps >= 1 in-link):
+    # authority and hub must genuinely diverge, and both max-normalized
+    # vectors must actually reach a top score near S
+    assert any(r.authority != r.hub for r in rows)
+    assert max(r.authority for r in rows) > s // 2
+    assert max(r.hub for r in rows) > s // 2
+
+
+def test_hits_scale_safe_at_any_node_count(spark):
+    """2*N*S <= 2^62 by construction at every N — the worst-case
+    half-step sum can never overflow BIGINT under ANSI; formula agrees
+    across Spark, SQL, and python spellings at the boundaries."""
+    from pyspark.sql import functions as F
+    for n in (1, 500, 10**6, 2 * 10**9, 10**12, 10**15):
+        got = spark.range(1).select(
+            F.lit(n).cast("long").alias("n")).select(
+            F.expr(qw._HITS_S_EXPR).alias("s")).collect()[0].s
+        assert got == qw.hits_scale(n)
+        assert 2 * n * qw.hits_scale(n) <= 1 << 62 or qw.hits_scale(n) == 1

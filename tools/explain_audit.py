@@ -199,6 +199,11 @@ EXPECT: dict[str, list[str]] = {
     # round 5 (closing): mojibake detection is a pure per-row codegen map
     # (replace + regexp_count) — no shuffle; scan prunes to (url, text)
     "mojibake_flags": ["ReadSchema: struct<url:string,text:string>"],
+    # round 5 (post-restart): HITS — per half-step one map-side-combined
+    # gather agg keyed by dst/src; the L-inf norm is an O(1)-row max
+    # broadcast; scan prunes to doc_id alone
+    "hits_scores": ["partial_sum", "partial_max", "BroadcastHashJoin",
+                    "ReadSchema: struct<doc_id:bigint>"],
 }
 
 # Round 5 (VERDICT r4 #1/#3): the doc-dim offsets->tokens join and the
