@@ -1045,21 +1045,22 @@ _DRIVER_WINDOW = [
     # redirect_resolve, token_budget_mix, shard_manifest, mojibake_flags
     # enter; repetition_ngrams, tfidf_topk, stream_quality and
     # text_embed_topk rotate out (all D3+D4-green, untouched this round).
-    # Post-restart batch: hits_scores enters; ivf_kmeans_topk rotates
-    # out (D4-green, unchanged since).
+    # Post-restart batch: hits_scores + charset_sniff enter;
+    # ivf_kmeans_topk and ccnet_buckets rotate out (both D3/D4-green,
+    # unchanged since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
     "dup_span_cut", "bpe_fertility", "crawl_schedule", "gopher_rules",
     "gopher_dup_lines", "normalized_dedup",
     "redirect_resolve", "token_budget_mix", "shard_manifest",
-    "mojibake_flags", "hits_scores",
+    "mojibake_flags", "hits_scores", "charset_sniff",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
     # to free the one slot the 11th round-4 query needs)
     # round-3 additions slot in here (keep the window <= 50 entries)
-    "ccnet_buckets", "scrub_rule_counts",
+    "scrub_rule_counts",
     # round-4 additions (oracle-backed first)
     "line_dedup",
     "url_dedup", "dup_spans", "dsir_weights", "domain_mix", "semdedup",

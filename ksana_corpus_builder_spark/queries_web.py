@@ -1272,6 +1272,108 @@ FROM {final_a} JOIN {prev_h} USING (doc_id)
 """
 
 
+# ----------------- charset sniffing over the BINARY html column
+
+_CS_META = '<meta charset="windows-1252">'
+_CS_RE = 'charset="?([A-Za-z0-9_-]+)'
+
+
+def q_charset_sniff(spark: SparkSession, sf: str) -> DataFrame:
+    """Charset detection over the raw `html:binary` column — the decode
+    gate a Common-Crawl ingest runs BEFORE any text stage exists (WARC
+    payloads are bytes; the input-table contract names html:binary for
+    exactly this). WHATWG encoding-sniffing order: a byte-order mark
+    wins outright (UTF-8 / UTF-16LE / UTF-16BE), else an in-document
+    `<meta charset=...>` declaration, else the UTF-8 default. ~10% of
+    staged pages carry a REAL UTF-8 BOM from the generator; the
+    remaining branches are derived deterministically from md5(url)
+    buckets at the BYTE level (the derived-input discipline — both
+    engines build the same variant blob, then detection reads ONLY the
+    bytes): buckets 0-1 get a UTF-16LE BOM prepended, 2 a UTF-16BE BOM,
+    3-5 a windows-1252 meta declaration spliced after <head> (so the
+    BOM-beats-meta precedence and the declared-vs-detected mismatch
+    flag both genuinely fire).
+
+    100 TB shape: a pure per-row codegen map over (url, html) — BOM
+    check slices the first 3 BYTES (never hexes the whole payload;
+    the DuckDB twin hex-then-substrs only because it lacks blob
+    slicing), the meta scan decodes lazily behind the UTF-16 guard
+    (ANSI decode of non-UTF-8 bytes throws, and never runs), no
+    shuffle, no UDF."""
+    from .queries import stage_pages
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "html")
+    b = F.substring(F.md5("url"), 1, 1)
+    s_meta = F.replace(F.decode("html", "UTF-8"), F.lit("<head>"),
+                       F.lit("<head>" + _CS_META))
+    blob = (F.when(b.isin("0", "1"),
+                   F.concat(F.lit(b"\xff\xfe"), F.col("html")))
+            .when(b == "2", F.concat(F.lit(b"\xfe\xff"), F.col("html")))
+            .when(b.isin("3", "4", "5"), F.encode(s_meta, "UTF-8"))
+            .otherwise(F.col("html")))
+    t = p.select("url", blob.alias("blob"))
+    h3 = F.upper(F.hex(F.substring("blob", 1, 3)))
+    d = t.select("url", "blob", h3.alias("h3"))
+    bom8 = F.col("h3") == "EFBBBF"
+    b16le = F.substring("h3", 1, 4) == "FFFE"
+    b16be = F.substring("h3", 1, 4) == "FEFF"
+    declared = (F.when(b16le | b16be, F.lit(""))
+                .otherwise(F.lower(F.regexp_extract(
+                    F.decode("blob", "UTF-8"), _CS_RE, 1))))
+    e = d.select("url", F.col("h3"), declared.alias("declared_charset"),
+                 F.octet_length("blob").cast("long").alias("n_bytes"),
+                 bom8.alias("p8"), b16le.alias("ple"), b16be.alias("pbe"))
+    detected = (F.when(F.col("ple"), F.lit("utf-16le"))
+                .when(F.col("pbe"), F.lit("utf-16be"))
+                .when(F.col("p8"), F.lit("utf-8"))
+                .when(F.col("declared_charset") != "",
+                      F.col("declared_charset"))
+                .otherwise(F.lit("utf-8")))
+    return (e.select("url", detected.alias("detected_charset"),
+                     "declared_charset",
+                     (F.col("p8") | F.col("ple") | F.col("pbe"))
+                     .alias("has_bom"), "n_bytes")
+            .withColumn("bom_mismatch",
+                        (F.col("declared_charset") != "")
+                        & (F.col("detected_charset")
+                           != F.col("declared_charset"))))
+
+
+def _charset_sniff_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    return f"""
+WITH v AS (SELECT url,
+        CASE WHEN substr(md5(url), 1, 1) IN ('0', '1')
+               THEN unhex('FFFE') || html
+             WHEN substr(md5(url), 1, 1) = '2' THEN unhex('FEFF') || html
+             WHEN substr(md5(url), 1, 1) IN ('3', '4', '5')
+               THEN encode(replace(decode(html), '<head>',
+                                   '<head>{_CS_META}'))
+             ELSE html END AS blob
+      FROM read_parquet('{STAGE_PATH}/*.parquet')),
+d AS (SELECT url, blob, substr(upper(hex(blob)), 1, 6) AS h3 FROM v),
+e AS (SELECT url, h3,
+        h3 = 'EFBBBF' AS p8,
+        substr(h3, 1, 4) = 'FFFE' AS ple,
+        substr(h3, 1, 4) = 'FEFF' AS pbe,
+        CASE WHEN substr(h3, 1, 4) IN ('FFFE', 'FEFF') THEN ''
+             ELSE lower(regexp_extract(decode(blob), '{_CS_RE}', 1))
+        END AS declared_charset,
+        octet_length(blob)::BIGINT AS n_bytes
+      FROM d),
+f AS (SELECT url,
+        CASE WHEN ple THEN 'utf-16le' WHEN pbe THEN 'utf-16be'
+             WHEN p8 THEN 'utf-8'
+             WHEN declared_charset <> '' THEN declared_charset
+             ELSE 'utf-8' END AS detected_charset,
+        declared_charset, (p8 OR ple OR pbe) AS has_bom, n_bytes
+      FROM e)
+SELECT url, detected_charset, declared_charset, has_bom, n_bytes,
+       (declared_charset <> '' AND detected_charset <> declared_charset)
+         AS bom_mismatch
+FROM f
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1291,6 +1393,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_manifest": q_shard_manifest,
     "mojibake_flags": q_mojibake_flags,
     "hits_scores": q_hits_scores,
+    "charset_sniff": q_charset_sniff,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -1310,4 +1413,5 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "shard_manifest": _SQL_SHARD_MANIFEST,
     "mojibake_flags": _mojibake_flags_sql(),
     "hits_scores": _hits_sql(),
+    "charset_sniff": _charset_sniff_sql(),
 }
