@@ -62,7 +62,8 @@ HEADLINE = (
     "dup_span_cut", "bpe_fertility", "crawl_schedule", "gopher_rules",
     "gopher_dup_lines", "normalized_dedup",
     "redirect_resolve", "token_budget_mix", "shard_manifest",
-    "mojibake_flags",
+    "mojibake_flags", "hits_scores", "charset_sniff",
+    "simhash_hamming_pairs", "label_prop_spam", "cdx_index",
 )
 
 

@@ -324,14 +324,25 @@ def minhash_md5_pairs(documents: DataFrame, k: int = 16, bands: int = 4,
 
 
 def simhash_md5(documents: DataFrame, nbits: int = 28,
-                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                id_col: str = "doc_id", text_col: str = "text",
+                salt: str = "") -> DataFrame:
     """Portable-hash SimHash twin (28-bit fingerprint over the md5-derived
     base hash): same sign-of-bit-count fold as simhash64, every stage
-    integer-exact, replayable in DuckDB. -> (doc_id, simhash)."""
+    integer-exact, replayable in DuckDB. -> (doc_id, simhash).
+
+    `salt` prefixes every token before hashing — an independent second
+    hash family, so callers can widen the fingerprint past 28 bits by
+    concatenating salted variants (simhash_hamming_pairs builds a 56-bit
+    Manku fingerprint from salts '' and '~'). Default '' keeps the
+    expression tree byte-identical to the pre-salt kernel."""
     seqn = F.lit(list(range(1, nbits + 1)))
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     # hash materialized ONCE per token (transform), not once per bit
-    hashes = F.transform(toks, _md5_hash28)
+    if salt:
+        hashes = F.transform(
+            toks, lambda t: _md5_hash28(F.concat(F.lit(salt), t)))
+    else:
+        hashes = F.transform(toks, _md5_hash28)
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), nbits),

@@ -1047,7 +1047,10 @@ _DRIVER_WINDOW = [
     # text_embed_topk rotate out (all D3+D4-green, untouched this round).
     # Post-restart batch: hits_scores + charset_sniff enter;
     # ivf_kmeans_topk and ccnet_buckets rotate out (both D3/D4-green,
-    # unchanged since).
+    # unchanged since). Pairing/graph/manifest batch:
+    # simhash_hamming_pairs + label_prop_spam + cdx_index enter;
+    # dsir_weights, domain_mix and quality_classifier rotate out (all
+    # D4-green in CORRECTNESS_r04, untouched since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
@@ -1055,6 +1058,7 @@ _DRIVER_WINDOW = [
     "gopher_dup_lines", "normalized_dedup",
     "redirect_resolve", "token_budget_mix", "shard_manifest",
     "mojibake_flags", "hits_scores", "charset_sniff",
+    "simhash_hamming_pairs", "label_prop_spam", "cdx_index",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
@@ -1063,8 +1067,7 @@ _DRIVER_WINDOW = [
     "scrub_rule_counts",
     # round-4 additions (oracle-backed first)
     "line_dedup",
-    "url_dedup", "dup_spans", "dsir_weights", "domain_mix", "semdedup",
-    "quality_classifier",
+    "url_dedup", "dup_spans", "semdedup",
     "pagerank", "boilerplate_blocks", "cross_snapshot_dedup", "stream_dedup",
     "classifier_train", "url_filter", "intra_line_dedup", "c4_line_filter",
     "minhash_dedup", "corpus_manifest", "corpus_datacard",

@@ -1374,6 +1374,275 @@ FROM f
 """
 
 
+# --------------- SimHash Hamming pairing (Manku et al., WWW 2007)
+
+_SH_BANDS = 4          # 4 bands x 14 bits from the 56-bit fingerprint
+_SH_BAND_BITS = 14
+_SH_MAXDIST = _SH_BANDS - 1  # pigeonhole: dist <= bands-1 => >= 1 band equal
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate PAIRING by SimHash Hamming distance — the Manku /
+    Charikar web-dedup scheme Google ran on the crawl index (Manku,
+    Jain & Das Sarma, WWW 2007): the registry computes fingerprints
+    (`simhash`, `simhash_md5`) but until now never paired them. A
+    56-bit portable fingerprint (two independent 28-bit md5-salted
+    simhashes concatenated — the salt gives a second hash family, both
+    engines replay it) is split into {b} bands of {w} bits; any pair
+    within Hamming distance <= {d} must agree on at least one band
+    (pigeonhole), so candidates come from a band-equality self-join and
+    are verified with an exact popcount of the XOR — never an all-pairs
+    scan.
+
+    100 TB shape: the fingerprint fold is shuffle-free per-doc; the
+    candidate join shuffles only (band, key, fp, id) rows — {w}-bit keys
+    here match the sf scale (collision sets stay O(1)); at corpus scale
+    the same plan widens the band key (Manku's tables are 16+-bit) so
+    bucket occupancy stays bounded, exactly the minhash-LSH band-join
+    discipline this repo already runs. Verification is a per-candidate
+    codegen XOR+popcount — no second pass over text."""
+    from .operators.dedup import simhash_md5
+    d = load(spark, sf, "documents")
+    s1 = simhash_md5(d, nbits=28)
+    s2 = (simhash_md5(d, nbits=28, salt="~")
+          .withColumnRenamed("simhash", "sh2"))
+    fp = (s1.join(s2, "doc_id")
+          .select("doc_id",
+                  (F.col("simhash")
+                   + F.expr("shiftleft(sh2, 28)")).alias("fp")))
+    bands = (fp.select(
+        "doc_id", "fp",
+        F.explode(F.lit(list(range(_SH_BANDS)))).alias("b"))
+        .withColumn("bkey", F.expr(
+            f"shiftright(fp, {_SH_BAND_BITS} * b)"
+            f" & {(1 << _SH_BAND_BITS) - 1}")))
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (a.join(c, (F.col("a.b") == F.col("c.b"))
+                   & (F.col("a.bkey") == F.col("c.bkey"))
+                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("a.fp").alias("fp_a"),
+                    F.col("c.doc_id").alias("id_b"),
+                    F.col("c.fp").alias("fp_b"))
+            .distinct())
+    return (cand.withColumn(
+        "hamming", F.expr("bit_count(fp_a ^ fp_b)").cast("long"))
+        .where(F.col("hamming") <= _SH_MAXDIST)
+        .select("id_a", "id_b", "hamming"))
+
+
+q_simhash_hamming_pairs.__doc__ = q_simhash_hamming_pairs.__doc__.format(
+    b=_SH_BANDS, w=_SH_BAND_BITS, d=_SH_MAXDIST)
+
+
+def _simfold_sql(hv: str) -> str:
+    """DuckDB 28-bit simhash fold over a hash-list column (the
+    _SQL_SIMHASH_MD5 fold, parameterized on the list name)."""
+    return (
+        "list_sum(list_transform(range(1, 29), i -> "
+        f"CASE WHEN list_sum(list_transform({hv}, "
+        "h -> ((h >> (i - 1)) & 1) * 2 - 1)) > 0 "
+        "THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT")
+
+
+def _simhash_hamming_sql() -> str:
+    from .queries_ref import _DOC_TOKS, _MD5H28
+    h_plain = _MD5H28.format(s="s")
+    h_salt = _MD5H28.format(s="'~' || s")
+    mask = (1 << _SH_BAND_BITS) - 1
+    return f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+hv AS (SELECT doc_id,
+         list_transform(toks, s -> {h_plain}) AS h1,
+         list_transform(toks, s -> {h_salt}) AS h2
+       FROM t WHERE len(toks) > 0),
+fp AS (SELECT doc_id,
+         ({_simfold_sql('h1')}) + (({_simfold_sql('h2')}) << 28) AS fp
+       FROM hv),
+bk AS (SELECT doc_id, fp, b, (fp >> ({_SH_BAND_BITS} * b)) & {mask} AS bkey
+       FROM fp, unnest(range(0, {_SH_BANDS})) AS u(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, a.fp AS fp_a,
+                c.doc_id AS id_b, c.fp AS fp_b
+         FROM bk a JOIN bk c
+           ON a.b = c.b AND a.bkey = c.bkey AND a.doc_id < c.doc_id)
+SELECT id_a, id_b, bit_count(xor(fp_a, fp_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {_SH_MAXDIST}
+"""
+
+
+# ------------- semi-supervised label propagation (web-spam demotion)
+
+_LP_ITERS = 2
+
+
+def q_label_prop_spam(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-supervised LABEL propagation over the link graph — the
+    TrustRank/anti-spam family (Gyongyi et al., VLDB 2004; Zhu &
+    Ghahramani label propagation): a small seed set of known-spam and
+    known-ham nodes (arithmetic in doc_id — the derived-input
+    convention) propagates CATEGORICAL labels along edges for
+    {it} iterations; each unlabeled node takes the majority vote of its
+    labeled in-neighbors (ties break to spam — the conservative crawl
+    policy), seeds are clamped. Distinct from `pagerank`/`hits_scores`:
+    those propagate additive SCORES; this propagates an argmax over
+    categorical vote counts — the aggregation a production spam-demotion
+    pass actually runs. Edges reuse the `hits_scores` skewed families so
+    votes genuinely conflict.
+
+    100 TB shape: per iteration ONE shuffle — (dst, label) vote counts
+    with map-side partial aggregation, then a bounded per-dst argmax
+    window (<= 2 label rows per dst) and a keyed join back to the node
+    list; seeds re-derive from doc_id arithmetic so no node-sized state
+    is ever broadcast or collected."""
+    d = load(spark, sf, "documents").select("doc_id")
+    n = d.agg(F.count("*").alias("n"))
+    dn = d.crossJoin(F.broadcast(n))
+    edges = (dn.select(F.col("doc_id").alias("src"),
+                       ((F.col("doc_id") * 73 + 11) % F.col("n")).alias("dst"))
+             .unionAll(dn.select(
+                 F.col("doc_id").alias("src"),
+                 (((F.col("doc_id") % 997) * (F.col("doc_id") % 983) + 7)
+                  % F.col("n")).alias("dst"))))
+    seed = (F.when(F.col("doc_id") % 17 == 3, F.lit(2))
+            .when(F.col("doc_id") % 17 == 5, F.lit(1))
+            .otherwise(F.lit(0))).cast("long")
+    lab = d.select("doc_id", seed.alias("lbl"))
+    for _ in range(_LP_ITERS):
+        votes = (edges.join(lab, edges.src == lab.doc_id)
+                 .where(F.col("lbl") != 0)
+                 .groupBy("dst", "lbl").agg(F.count("*").alias("cnt")))
+        win = (votes.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("dst")
+                .orderBy(F.desc("cnt"), F.desc("lbl"))))
+            .where(F.col("rn") == 1)
+            .select("dst", F.col("lbl").alias("wl")))
+        lab = (lab.join(win, lab.doc_id == win.dst, "left")
+               .select(lab.doc_id,
+                       F.when(seed != 0, F.col("lbl"))
+                       .otherwise(F.coalesce(F.col("wl"), F.col("lbl")))
+                       .cast("long").alias("lbl")))
+    return lab.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lbl").alias("label"),
+        (F.when(F.col("lbl") == 2, F.lit("spam"))
+         .when(F.col("lbl") == 1, F.lit("ham"))
+         .otherwise(F.lit("unknown"))).alias("label_name"))
+
+
+q_label_prop_spam.__doc__ = q_label_prop_spam.__doc__.format(it=_LP_ITERS)
+
+
+def _label_prop_sql() -> str:
+    steps = []
+    prev = "l0"
+    for k in range(1, _LP_ITERS + 1):
+        steps.append(f"""
+v{k} AS (SELECT e.dst, {prev}.lbl, count(*) AS cnt
+         FROM e JOIN {prev} ON e.src = {prev}.doc_id
+         WHERE {prev}.lbl <> 0 GROUP BY e.dst, {prev}.lbl),
+w{k} AS (SELECT dst, lbl AS wl FROM (
+           SELECT dst, lbl, row_number() OVER (
+             PARTITION BY dst ORDER BY cnt DESC, lbl DESC) AS rn
+           FROM v{k}) WHERE rn = 1),
+l{k} AS (SELECT {prev}.doc_id,
+           (CASE WHEN {prev}.doc_id % 17 IN (3, 5) THEN {prev}.lbl
+                 ELSE coalesce(w{k}.wl, {prev}.lbl) END)::BIGINT AS lbl
+         FROM {prev} LEFT JOIN w{k} ON {prev}.doc_id = w{k}.dst)""")
+        prev = f"l{k}"
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT doc_id AS src, (doc_id * 73 + 11) % n.n AS dst
+        FROM documents, n
+      UNION ALL
+      SELECT doc_id, ((doc_id % 997) * (doc_id % 983) + 7) % n.n
+        FROM documents, n),
+l0 AS (SELECT doc_id,
+         (CASE WHEN doc_id % 17 = 3 THEN 2
+               WHEN doc_id % 17 = 5 THEN 1 ELSE 0 END)::BIGINT AS lbl
+       FROM documents),
+{",".join(steps)}
+SELECT doc_id::BIGINT AS doc_id, lbl AS label,
+       CASE WHEN lbl = 2 THEN 'spam' WHEN lbl = 1 THEN 'ham'
+            ELSE 'unknown' END AS label_name
+FROM {prev}
+"""
+
+
+# --------------------- CDX shard index (Common-Crawl WARC manifest)
+
+_CDX_SHARDS = 8
+_CDX_HDR = "WARC/1.0\r\nWARC-Target-URI: "
+_CDX_LEN = "\r\nContent-Length: "
+
+
+def q_cdx_index(spark: SparkSession, sf: str) -> DataFrame:
+    """CDX index generation — the (url, shard, byte offset, record
+    length, payload digest) manifest Common Crawl publishes next to
+    every WARC shard so readers can range-request one record without
+    scanning the file. Each staged page becomes a WARC record (version
+    line + WARC-Target-URI + Content-Length headers, CRLF framing,
+    payload, blank-line terminator); records append to their shard in
+    crawl order (warc_ts, url) and the offset is the running sum of the
+    preceding records' lengths. Every byte count is computed from the
+    REAL header string + raw payload octet_length, so the index is
+    byte-accurate for the record framing it declares.
+
+    100 TB shape: per-row codegen for lengths/digests (md5 of the raw
+    payload bytes — the dedup join key downstream), then ONE window
+    prefix-sum partitioned by shard: shard count scales with the crawl
+    (here md5-bucketed to {sh}) so each partition is one writer's
+    append stream — bounded by design; a trillion-record crawl lifts
+    the same running sum onto the 3-level hierarchical prefix sum in
+    operators/tpos.py. No collect, no broadcast."""
+    from .queries import stage_pages
+    p = (spark.read.parquet(stage_pages(spark, sf))
+         .select("url", "warc_ts", "html"))
+    n = F.octet_length("html").cast("long")
+    hdr = F.concat(F.lit(_CDX_HDR), F.col("url"),
+                   F.lit(_CDX_LEN), n.cast("string"), F.lit("\r\n\r\n"))
+    r = p.select(
+        "url", "warc_ts",
+        (F.conv(F.substring(F.md5("url"), 1, 2), 16, 10).cast("long")
+         % _CDX_SHARDS).alias("shard"),
+        (F.octet_length(hdr) + n + F.lit(4)).cast("long").alias("length"),
+        F.md5("html").alias("digest"))
+    w = (Window.partitionBy("shard").orderBy("warc_ts", "url")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (r.withColumn("offset",
+                         (F.sum("length").over(w)
+                          - F.col("length")).cast("long"))
+            .select("url", "shard", "offset", "length", "digest"))
+
+
+q_cdx_index.__doc__ = q_cdx_index.__doc__.format(sh=_CDX_SHARDS)
+
+
+def _cdx_index_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    crlf = "chr(13) || chr(10)"
+    hdr = (f"'WARC/1.0' || {crlf} || 'WARC-Target-URI: ' || url || "
+           f"{crlf} || 'Content-Length: ' || "
+           f"octet_length(html)::VARCHAR || {crlf} || {crlf}")
+    return f"""
+WITH p AS (SELECT url, warc_ts, html
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+r AS (SELECT url, warc_ts,
+        ((strpos('0123456789abcdef', substr(md5(url), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(url), 2, 1)) - 1))
+          % {_CDX_SHARDS} AS shard,
+        (octet_length(encode({hdr})) + octet_length(html)
+         + 4)::BIGINT AS length,
+        md5(decode(html)) AS digest
+      FROM p)
+SELECT url, shard, (sum(length) OVER (
+         PARTITION BY shard ORDER BY warc_ts, url
+         ROWS UNBOUNDED PRECEDING) - length)::BIGINT AS offset,
+       length, digest
+FROM r
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1394,6 +1663,9 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mojibake_flags": q_mojibake_flags,
     "hits_scores": q_hits_scores,
     "charset_sniff": q_charset_sniff,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "label_prop_spam": q_label_prop_spam,
+    "cdx_index": q_cdx_index,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -1414,4 +1686,7 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "mojibake_flags": _mojibake_flags_sql(),
     "hits_scores": _hits_sql(),
     "charset_sniff": _charset_sniff_sql(),
+    "simhash_hamming_pairs": _simhash_hamming_sql(),
+    "label_prop_spam": _label_prop_sql(),
+    "cdx_index": _cdx_index_sql(),
 }
