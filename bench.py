@@ -64,6 +64,7 @@ HEADLINE = (
     "redirect_resolve", "token_budget_mix", "shard_manifest",
     "mojibake_flags", "hits_scores", "charset_sniff",
     "simhash_hamming_pairs", "label_prop_spam", "cdx_index",
+    "gopher_ngram_gates", "zorder_layout",
 )
 
 

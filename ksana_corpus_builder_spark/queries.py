@@ -1051,6 +1051,8 @@ _DRIVER_WINDOW = [
     # simhash_hamming_pairs + label_prop_spam + cdx_index enter;
     # dsir_weights, domain_mix and quality_classifier rotate out (all
     # D4-green in CORRECTNESS_r04, untouched since).
+    # gopher_ngram_gates + zorder_layout enter; url_dedup and semdedup
+    # rotate out (both D4-green in CORRECTNESS_r04, untouched since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
@@ -1059,6 +1061,7 @@ _DRIVER_WINDOW = [
     "redirect_resolve", "token_budget_mix", "shard_manifest",
     "mojibake_flags", "hits_scores", "charset_sniff",
     "simhash_hamming_pairs", "label_prop_spam", "cdx_index",
+    "gopher_ngram_gates", "zorder_layout",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
@@ -1067,7 +1070,7 @@ _DRIVER_WINDOW = [
     "scrub_rule_counts",
     # round-4 additions (oracle-backed first)
     "line_dedup",
-    "url_dedup", "dup_spans", "semdedup",
+    "dup_spans",
     "pagerank", "boilerplate_blocks", "cross_snapshot_dedup", "stream_dedup",
     "classifier_train", "url_filter", "intra_line_dedup", "c4_line_filter",
     "minhash_dedup", "corpus_manifest", "corpus_datacard",

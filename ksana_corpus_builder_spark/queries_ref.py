@@ -3002,6 +3002,117 @@ FROM g
 """
 
 
+# Gopher App. A1.1 n-gram character-fraction thresholds (Rae et al. 2021):
+# top-n-gram coverage for n=2..4, duplicated-n-gram coverage for n=5..10.
+# Gate passes when 100 * covered_chars <= pct * total_chars (integer
+# cross-multiply, no float thresholds).
+_GNG_TOP = {2: 20, 3: 18, 4: 16}
+_GNG_DUP = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+_GNG_LENBITS = 20  # max-key packing: mk = c * 2^20 + len(gram)
+
+
+def q_gopher_ngram_gates(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL Gopher n-gram repetition gate set (Rae et al. 2021,
+    App. A1.1) — `repetition_ngrams` covers the top-bigram flag and
+    trigram excess on the documents table; this implements all NINE
+    published character-fraction thresholds over the staged crawl: the
+    most-frequent n-gram's character coverage for n=2..4 (<= 20/18/16%)
+    and the occurrence-weighted character coverage of duplicated
+    n-grams for n=5..10 (<= 15/14/13/12/11/10%). Coverage counts the
+    space-joined gram's characters per occurrence (the deterministic
+    integer convention both engines share; Gopher's prose leaves span
+    overlap unspecified). Top-gram selection is deterministic via the
+    packed max-key mk = count * 2^{lb} + len — max(mk) picks the
+    highest count, longest gram on count ties — so ONE algebraic max
+    replaces a per-n argmax join.
+
+    100 TB shape: all nine gram sizes generate in ONE inline() pass over
+    the token array (no nine-scan fan-out), then exactly TWO map-side-
+    combined shuffles — (url, n, gram) counts, then the per-url
+    conditional rollup. Gram keys are page-scoped so the shuffle is
+    skew-free; no window, no broadcast, no sort."""
+    from .queries import stage_pages
+    p = (spark.read.parquet(stage_pages(spark, sf))
+         .select("url", "text",
+                 F.filter(F.split("text", " "),
+                          lambda x: x != F.lit("")).alias("toks")))
+    grams = p.select(
+        "url", F.length("text").cast("long").alias("total_chars"),
+        F.expr(
+            "inline(flatten(transform(array(2,3,4,5,6,7,8,9,10), n -> "
+            "transform(filter(sequence(1, greatest(size(toks) - n + 1, 1)),"
+            "                 i -> i <= size(toks) - n + 1), "
+            "  i -> struct(n AS n, "
+            "              array_join(slice(toks, i, n), ' ') AS g)))))"))
+    per = (grams.groupBy("url", "total_chars", "n", "g")
+           .agg(F.count("*").alias("c"))
+           .select("url", "total_chars", "n", "c",
+                   F.length("g").cast("long").alias("glen")))
+    mk = F.col("c") * F.lit(1 << _GNG_LENBITS) + F.col("glen")
+    aggs = [F.coalesce(
+        F.max(F.when(F.col("n") == n, mk)), F.lit(0)).alias(f"mk{n}")
+        for n in _GNG_TOP]
+    aggs += [F.coalesce(
+        F.sum(F.when((F.col("n") == n) & (F.col("c") >= 2),
+                     F.col("c") * F.col("glen"))), F.lit(0))
+        .cast("long").alias(f"dcov{n}") for n in _GNG_DUP]
+    g = per.groupBy("url", "total_chars").agg(*aggs)
+    covs = [(F.expr(f"(mk{n} div {1 << _GNG_LENBITS}) "
+                    f"* (mk{n} % {1 << _GNG_LENBITS})")
+             .cast("long").alias(f"cov{n}")) for n in _GNG_TOP]
+    g = g.select("url", "total_chars", *covs,
+                 *[f"dcov{n}" for n in _GNG_DUP])
+    gates = [(100 * F.col(f"cov{n}") <= p_ * F.col("total_chars"))
+             for n, p_ in _GNG_TOP.items()]
+    gates += [(100 * F.col(f"dcov{n}") <= p_ * F.col("total_chars"))
+              for n, p_ in _GNG_DUP.items()]
+    keep = gates[0]
+    for g_ in gates[1:]:
+        keep = keep & g_
+    return g.select("url", "total_chars",
+                    *[f"cov{n}" for n in _GNG_TOP],
+                    *[f"dcov{n}" for n in _GNG_DUP],
+                    keep.alias("keep"))
+
+
+def _gopher_ngram_gates_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    lb = 1 << _GNG_LENBITS
+    tops = ",\n".join(
+        f"        coalesce(max(CASE WHEN n = {n} THEN c * {lb} + glen END),"
+        f" 0) AS mk{n}" for n in _GNG_TOP)
+    dups = ",\n".join(
+        f"        coalesce(sum(CASE WHEN n = {n} AND c >= 2"
+        f" THEN c * glen END), 0)::BIGINT AS dcov{n}" for n in _GNG_DUP)
+    covs = ", ".join(
+        f"(mk{n} // {lb}) * (mk{n} % {lb}) AS cov{n}" for n in _GNG_TOP)
+    gate_list = [f"100 * (mk{n} // {lb}) * (mk{n} % {lb})"
+                 f" <= {p} * total_chars" for n, p in _GNG_TOP.items()]
+    gate_list += [f"100 * dcov{n} <= {p} * total_chars"
+                  for n, p in _GNG_DUP.items()]
+    keep = "\n         AND ".join(gate_list)
+    dcols = ", ".join(f"dcov{n}" for n in _GNG_DUP)
+    return f"""
+WITH p AS (SELECT url, len(text)::BIGINT AS total_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+gr AS (SELECT url, total_chars, n,
+         array_to_string(toks[i:i+n-1], ' ') AS g
+       FROM p, unnest(range(2, 11)) AS un(n),
+            unnest(range(1, greatest(len(toks) - n + 2, 1))) AS u(i)),
+per AS (SELECT url, total_chars, n, g, count(*)::BIGINT AS c,
+          len(g)::BIGINT AS glen
+        FROM gr GROUP BY url, total_chars, n, g),
+agg AS (SELECT url, total_chars,
+{tops},
+{dups}
+        FROM per GROUP BY url, total_chars)
+SELECT url, total_chars, {covs}, {dcols},
+       ({keep}) AS keep
+FROM agg
+"""
+
+
 def q_normalized_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Near-exact dedup on NORMALIZED text (the FineWeb/Dolma fuzzy-exact
     step between byte-exact and MinHash): lowercase, strip every
@@ -3245,6 +3356,7 @@ QUERIES_REF: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_filter": q_c4_line_filter,
     "gopher_rules": q_gopher_rules,
     "gopher_dup_lines": q_gopher_dup_lines,
+    "gopher_ngram_gates": q_gopher_ngram_gates,
     "normalized_dedup": q_normalized_dedup,
     "minhash_dedup": q_minhash_dedup,
     "corpus_manifest": q_corpus_manifest,
@@ -3297,6 +3409,7 @@ ORACLE_SQL_REF: dict[str, str] = {
     "c4_line_filter": _c4_line_filter_sql(),
     "gopher_rules": _gopher_rules_sql(),
     "gopher_dup_lines": _gopher_dup_lines_sql(),
+    "gopher_ngram_gates": _gopher_ngram_gates_sql(),
     "normalized_dedup": _normalized_dedup_sql(),
     "minhash_dedup": _minhash_dedup_sql(),
     "cross_snapshot_minhash": _cross_snapshot_minhash_sql(),

@@ -1643,6 +1643,81 @@ FROM r
 """
 
 
+# ------------------- Z-order data layout (OPTIMIZE ZORDER manifest)
+
+_ZO_HBITS = 4   # host bucket: first md5 hex digit (0..15)
+_ZO_DBITS = 5   # crawl day within the staged 30-day window (0..29)
+_ZO_GROUP = 8   # zkey range per file group
+
+
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton-curve) data-layout manifest — the Delta/Iceberg
+    `OPTIMIZE ZORDER BY (host, crawl_day)` step a 100 TB table runs so
+    that BOTH host-predicate and date-predicate scans prune files. Each
+    page gets a {hb}-bit host bucket and a {db}-bit crawl-day; their
+    bits interleave into the Morton key (day bits even, host bits odd),
+    files cover contiguous zkey ranges ({gr} keys per group), and the
+    output is the per-file skip index every lakehouse reader consults:
+    row count + min/max of EACH dimension per file. Tight per-file
+    min/max spans on both dimensions at once are the entire point of
+    Z-ordering — a lexicographic (host, day) sort gives day spans as
+    wide as the whole window in every host run.
+
+    100 TB shape: the Morton key is per-row codegen bit arithmetic; file
+    assignment is a pure key-range map (zkey div {gr} — the write path
+    is repartitionByRange(zkey), a sampled range shuffle, never a global
+    row_number); the manifest itself is ONE map-side-combined hash agg
+    to at most 2^{tb} rows. No window, no broadcast, no collect."""
+    from .queries import stage_pages
+    p = (spark.read.parquet(stage_pages(spark, sf))
+         .select("url", "warc_ts"))
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    hb = F.conv(F.substring(F.md5(host), 1, 1), 16, 10).cast("long")
+    day = F.datediff(F.to_date("warc_ts"),
+                     F.to_date(F.lit("2024-03-01"))).cast("long")
+    d = p.select("url", hb.alias("hb"), day.alias("day"))
+    zbits = [f"shiftleft(shiftright(day, {i}) & 1, {2 * i})"
+             for i in range(_ZO_DBITS)]
+    zbits += [f"shiftleft(shiftright(hb, {i}) & 1, {2 * i + 1})"
+              for i in range(_ZO_HBITS)]
+    z = F.expr(" + ".join(zbits)).cast("long")
+    return (d.withColumn("zkey", z)
+            .withColumn("file_group",
+                        F.expr(f"zkey div {_ZO_GROUP}").cast("long"))
+            .groupBy("file_group")
+            .agg(F.count("*").cast("long").alias("n_pages"),
+                 F.min("zkey").alias("z_min"), F.max("zkey").alias("z_max"),
+                 F.min("hb").alias("host_min"), F.max("hb").alias("host_max"),
+                 F.min("day").alias("day_min"), F.max("day").alias("day_max")))
+
+
+q_zorder_layout.__doc__ = q_zorder_layout.__doc__.format(
+    hb=_ZO_HBITS, db=_ZO_DBITS, gr=_ZO_GROUP, tb=_ZO_HBITS + _ZO_DBITS)
+
+
+def _zorder_layout_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    zbits = [f"(((day >> {i}) & 1) << {2 * i})" for i in range(_ZO_DBITS)]
+    zbits += [f"(((hb >> {i}) & 1) << {2 * i + 1})"
+              for i in range(_ZO_HBITS)]
+    zexpr = " + ".join(zbits)
+    return f"""
+WITH p AS (SELECT url,
+             (strpos('0123456789abcdef', substr(md5(
+                regexp_extract(url, '^https://([^/]+)/', 1)), 1, 1))
+              - 1)::BIGINT AS hb,
+             (warc_ts::DATE - DATE '2024-03-01')::BIGINT AS day
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+z AS (SELECT url, hb, day, ({zexpr})::BIGINT AS zkey FROM p)
+SELECT (zkey // {_ZO_GROUP})::BIGINT AS file_group,
+       count(*)::BIGINT AS n_pages,
+       min(zkey) AS z_min, max(zkey) AS z_max,
+       min(hb) AS host_min, max(hb) AS host_max,
+       min(day) AS day_min, max(day) AS day_max
+FROM z GROUP BY 1
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1666,6 +1741,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "label_prop_spam": q_label_prop_spam,
     "cdx_index": q_cdx_index,
+    "zorder_layout": q_zorder_layout,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -1689,4 +1765,5 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "simhash_hamming_pairs": _simhash_hamming_sql(),
     "label_prop_spam": _label_prop_sql(),
     "cdx_index": _cdx_index_sql(),
+    "zorder_layout": _zorder_layout_sql(),
 }
