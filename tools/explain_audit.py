@@ -204,6 +204,36 @@ EXPECT: dict[str, list[str]] = {
     # broadcast; scan prunes to doc_id alone
     "hits_scores": ["partial_sum", "partial_max", "BroadcastHashJoin",
                     "ReadSchema: struct<doc_id:bigint>"],
+    # round 5 (final): charset sniffing is a pure per-row codegen map over
+    # the raw bytes — no shuffle at all; scan prunes to (url, html)
+    "charset_sniff": ["ReadSchema: struct<url:string,html:binary>"],
+    # round 5 (final): Manku band-join pairing — candidates come from a
+    # band-equality JOIN (never a cartesian), the pair-distinct
+    # partial-aggregates map-side, the scan prunes to (doc_id, text)
+    "simhash_hamming_pairs": ["Join", "HashAggregate",
+                              "ReadSchema: struct<doc_id:bigint,"
+                              "text:string>"],
+    # round 5 (final): label propagation — per-iteration (dst, label)
+    # vote counts partial-combine map-side, the argmax is a bounded
+    # dst-partitioned window, the scan prunes to doc_id alone
+    "label_prop_spam": ["partial_count", "Window",
+                        "hashpartitioning(dst",
+                        "ReadSchema: struct<doc_id:bigint>"],
+    # round 5 (final): CDX manifest — ONE shard-partitioned prefix-sum
+    # window (each partition is one writer's append stream), per-row
+    # codegen lengths/digests; scan prunes to (url, warc_ts, html)
+    "cdx_index": ["Window", "hashpartitioning(shard",
+                  "ReadSchema: struct<url:string,warc_ts:timestamp"],
+    # round 5 (final): all nine Gopher gram sizes generate in ONE
+    # Generate (inline) pass; both the (url,n,gram) counts and the
+    # per-url conditional rollup partial-combine map-side
+    "gopher_ngram_gates": ["Generate", "partial_count", "partial_max",
+                           "partial_sum",
+                           "ReadSchema: struct<url:string,text:string>"],
+    # round 5 (final): the Z-order manifest is per-row bit arithmetic +
+    # ONE map-side-combined hash agg; scan prunes to (url, warc_ts)
+    "zorder_layout": ["partial_count", "partial_min", "partial_max",
+                      "ReadSchema: struct<url:string,warc_ts:timestamp"],
 }
 
 # Round 5 (VERDICT r4 #1/#3): the doc-dim offsets->tokens join and the
