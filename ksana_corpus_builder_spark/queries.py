@@ -911,6 +911,63 @@ FROM j GROUP BY ROLLUP (lang, source)
 """
 
 
+# -- rule ablation: per-rule marginal impact of the keep/drop gate set
+
+
+def q_rule_ablation(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-rule ablation report over the fused keep/drop kernel — the
+    "which gate is doing the work" diagnostic a pipeline owner reads
+    before tuning thresholds: for every quality rule, how many documents
+    hit it (n_hit), how many were dropped by it ALONE (n_sole_reason —
+    the docs that would flip to keep if the rule were removed), and the
+    counterfactual keep rate without it (integer ppm). Composes the
+    SAME kernel labels the flagship emits, so the twin splices
+    _SQL_KEEP_DROP in as a CTE (the quality_report discipline) and the
+    per-rule arithmetic is exact in both engines.
+
+    100 TB shape: the kernel pass is the fused mapInPandas map; the
+    explode is bounded (<= 9 rules/doc), the per-rule agg map-side
+    combines to <= 9 rows, and the corpus-wide totals reach each rule
+    row as a broadcast 1-row scalar — no corpus-sized shuffle beyond
+    the one bounded (rule) agg."""
+    kd = q_keep_drop(spark, sf)
+    rules = F.split("rules_hit_str", ",")
+    hits = (kd.where(F.col("rules_hit_str") != "")
+            .select(F.explode(rules).alias("rule"),
+                    F.size(rules).alias("n_rules")))
+    tot = kd.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"))
+    return (hits.crossJoin(F.broadcast(tot))
+            .groupBy("rule", "n_docs", "n_keep")
+            .agg(F.count("*").alias("n_hit"),
+                 F.sum(F.when(F.col("n_rules") == 1, 1).otherwise(0))
+                 .alias("n_sole_reason"))
+            .select("rule", F.col("n_hit").cast("long").alias("n_hit"),
+                    F.col("n_sole_reason").cast("long")
+                    .alias("n_sole_reason"),
+                    F.expr("((n_keep + n_sole_reason) * 1000000)"
+                           " div n_docs").cast("long")
+                    .alias("keep_ppm_without")))
+
+
+def _rule_ablation_sql() -> str:
+    return f"""
+WITH kd AS ({_SQL_KEEP_DROP}),
+h AS (SELECT unnest(string_split(rules_hit_str, ',')) AS rule,
+             len(string_split(rules_hit_str, ',')) AS n_rules
+      FROM kd WHERE rules_hit_str <> ''),
+tot AS (SELECT count(*) AS n_docs,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep FROM kd)
+SELECT rule, count(*)::BIGINT AS n_hit,
+       sum(CASE WHEN n_rules = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_sole_reason,
+       ((n_keep + sum(CASE WHEN n_rules = 1 THEN 1 ELSE 0 END))
+        * 1000000 // n_docs)::BIGINT AS keep_ppm_without
+FROM h, tot GROUP BY rule, n_docs, n_keep
+"""
+
+
 # ================================================================ registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -942,6 +999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "pages_pipeline": q_pages_pipeline,
     "lsh_topk": q_lsh_topk,
+    "rule_ablation": q_rule_ablation,
 }
 
 from .queries_ext import ORACLE_SQL_EXT, QUERIES_EXT  # noqa: E402
@@ -981,6 +1039,7 @@ ORACLE_SQL: dict[str, str] = {
     "stream_quality": _pages_pipeline_sql(),
     "ccnet_buckets": _ccnet_buckets_sql(),
     "scrub_rule_counts": _scrub_rule_counts_sql(),
+    "rule_ablation": _rule_ablation_sql(),
     # minhash_pairs / simhash (xxhash64 sketches — DuckDB has no xxhash64)
     # stay rows-only; their ALGORITHM is value-proven by the md5-hash
     # portable twins (minhash_pairs_md5 / simhash_md5 in queries_ref)
@@ -1053,6 +1112,9 @@ _DRIVER_WINDOW = [
     # D4-green in CORRECTNESS_r04, untouched since).
     # gopher_ngram_gates + zorder_layout enter; url_dedup and semdedup
     # rotate out (both D4-green in CORRECTNESS_r04, untouched since).
+    # rule_ablation + dataset_diff enter; dup_spans and
+    # cross_snapshot_dedup rotate out (both D4-green in CORRECTNESS_r04,
+    # untouched since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
@@ -1062,6 +1124,7 @@ _DRIVER_WINDOW = [
     "mojibake_flags", "hits_scores", "charset_sniff",
     "simhash_hamming_pairs", "label_prop_spam", "cdx_index",
     "gopher_ngram_gates", "zorder_layout",
+    "rule_ablation", "dataset_diff",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
@@ -1070,8 +1133,7 @@ _DRIVER_WINDOW = [
     "scrub_rule_counts",
     # round-4 additions (oracle-backed first)
     "line_dedup",
-    "dup_spans",
-    "pagerank", "boilerplate_blocks", "cross_snapshot_dedup", "stream_dedup",
+    "pagerank", "boilerplate_blocks", "stream_dedup",
     "classifier_train", "url_filter", "intra_line_dedup", "c4_line_filter",
     "minhash_dedup", "corpus_manifest", "corpus_datacard",
     "cross_snapshot_minhash", "pack_sequences", "bpe_pair_counts",

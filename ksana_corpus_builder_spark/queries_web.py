@@ -1718,6 +1718,78 @@ FROM z GROUP BY 1
 """
 
 
+# ------------------- snapshot diff manifest (dataset versioning)
+
+
+def q_dataset_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-diff manifest between two corpus versions — the
+    added / removed / changed / unchanged accounting every dataset
+    versioning layer (Iceberg snapshot diff, lakeFS/DVC data diff,
+    dump-over-dump crawl reports) publishes before a training run pins
+    a version. Snapshot A is the staged crawl; snapshot B derives
+    deterministically per md5(url) bucket (the derived-input
+    discipline, both engines build it identically): buckets 0-1 are
+    dropped from B (removed), 2-3 get edited text (changed), bucket 4
+    contributes a brand-new '/v2' url (added), everything else carries
+    over byte-identical (unchanged). The diff compares 16-byte content
+    digests, never raw text.
+
+    100 TB shape: both snapshots are corpus-sized, so the diff is ONE
+    url-keyed full-outer shuffle join of (url, md5) rows — no broadcast
+    by design; digests are computed map-side so text never shuffles.
+    Status is a per-row codegen CASE on the join result."""
+    from .queries import stage_pages
+    p = spark.read.parquet(stage_pages(spark, sf)).select("url", "text")
+    b = (F.conv(F.substring(F.md5("url"), 1, 1), 16, 10)
+         .cast("long") % 16)
+    a_side = p.select("url", F.md5(F.col("text")).alias("h_old"))
+    b_base = (p.where(~b.isin(0, 1))
+              .select("url",
+                      F.md5(F.when(b.isin(2, 3),
+                                   F.concat(F.col("text"),
+                                            F.lit(" [edited]")))
+                            .otherwise(F.col("text"))).alias("h_new")))
+    b_added = (p.where(b == 4)
+               .select(F.concat(F.col("url"), F.lit("/v2")).alias("url"),
+                       F.md5(F.concat(F.lit("new page "),
+                                      F.col("url"))).alias("h_new")))
+    b_side = b_base.unionAll(b_added)
+    j = a_side.join(b_side, "url", "full_outer")
+    status = (F.when(F.col("h_new").isNull(), F.lit("removed"))
+              .when(F.col("h_old").isNull(), F.lit("added"))
+              .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return j.select("url", F.col("h_old").isNotNull().alias("in_old"),
+                    F.col("h_new").isNotNull().alias("in_new"),
+                    status.alias("status"))
+
+
+def _dataset_diff_sql() -> str:
+    from .sources.pages import STAGE_PATH
+    bkt = ("(strpos('0123456789abcdef', substr(md5(url), 1, 1)) - 1)"
+           " % 16")
+    return f"""
+WITH p AS (SELECT url, text, {bkt} AS b
+           FROM read_parquet('{STAGE_PATH}/*.parquet')),
+a AS (SELECT url, md5(text) AS h_old FROM p),
+bb AS (SELECT url,
+         md5(CASE WHEN b IN (2, 3) THEN text || ' [edited]'
+                  ELSE text END) AS h_new
+       FROM p WHERE b NOT IN (0, 1)
+       UNION ALL
+       SELECT u || '/v2' AS url, md5('new page ' || u) AS h_new
+       FROM (SELECT url AS u FROM p WHERE b = 4))
+SELECT coalesce(a.url, bb.url) AS url,
+       (a.url IS NOT NULL) AS in_old,
+       (bb.url IS NOT NULL) AS in_new,
+       CASE WHEN bb.url IS NULL THEN 'removed'
+            WHEN a.url IS NULL THEN 'added'
+            WHEN a.h_old <> bb.h_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN bb ON a.url = bb.url
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1742,6 +1814,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_prop_spam": q_label_prop_spam,
     "cdx_index": q_cdx_index,
     "zorder_layout": q_zorder_layout,
+    "dataset_diff": q_dataset_diff,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -1766,4 +1839,5 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "label_prop_spam": _label_prop_sql(),
     "cdx_index": _cdx_index_sql(),
     "zorder_layout": _zorder_layout_sql(),
+    "dataset_diff": _dataset_diff_sql(),
 }
