@@ -65,7 +65,7 @@ HEADLINE = (
     "mojibake_flags", "hits_scores", "charset_sniff",
     "simhash_hamming_pairs", "label_prop_spam", "cdx_index",
     "gopher_ngram_gates", "zorder_layout",
-    "rule_ablation", "dataset_diff",
+    "rule_ablation", "dataset_diff", "refresh_priority",
 )
 
 

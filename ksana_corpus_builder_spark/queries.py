@@ -1114,7 +1114,8 @@ _DRIVER_WINDOW = [
     # rotate out (both D4-green in CORRECTNESS_r04, untouched since).
     # rule_ablation + dataset_diff enter; dup_spans and
     # cross_snapshot_dedup rotate out (both D4-green in CORRECTNESS_r04,
-    # untouched since).
+    # untouched since). refresh_priority enters; stream_dedup rotates
+    # out (D4-green driver row in CORRECTNESS_r04, untouched since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
@@ -1124,7 +1125,7 @@ _DRIVER_WINDOW = [
     "mojibake_flags", "hits_scores", "charset_sniff",
     "simhash_hamming_pairs", "label_prop_spam", "cdx_index",
     "gopher_ngram_gates", "zorder_layout",
-    "rule_ablation", "dataset_diff",
+    "rule_ablation", "dataset_diff", "refresh_priority",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
@@ -1133,7 +1134,7 @@ _DRIVER_WINDOW = [
     "scrub_rule_counts",
     # round-4 additions (oracle-backed first)
     "line_dedup",
-    "pagerank", "boilerplate_blocks", "stream_dedup",
+    "pagerank", "boilerplate_blocks",
     "classifier_train", "url_filter", "intra_line_dedup", "c4_line_filter",
     "minhash_dedup", "corpus_manifest", "corpus_datacard",
     "cross_snapshot_minhash", "pack_sequences", "bpe_pair_counts",

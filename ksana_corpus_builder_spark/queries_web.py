@@ -1790,6 +1790,82 @@ FROM a FULL OUTER JOIN bb ON a.url = bb.url
 """
 
 
+# --------------- change-rate-driven crawl refresh scheduling
+
+_RP_HOT_PPM = 500_000   # >= 50% of a host's urls changed -> re-crawl daily
+_RP_WARM_PPM = 100_000  # >= 10% -> weekly; below -> monthly
+
+
+def q_refresh_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl REFRESH scheduling from observed change rates — the
+    freshness side of crawl ops (`crawl_schedule` handles politeness;
+    this decides WHICH hosts deserve re-crawling): per host, how many
+    urls changed / vanished between the two snapshots the
+    `dataset_diff` manifest compares, the integer-ppm change rate, and
+    the resulting refresh tier (hot = daily, warm = weekly, cold =
+    monthly — the adaptive re-visit policy every production crawler
+    runs, cf. Cho & Garcia-Molina's change-frequency estimators).
+    Added '/v2' urls parse to their existing host, so new-content hosts
+    heat up too.
+
+    100 TB shape: the diff join is `dataset_diff`'s corpus-sized
+    full-outer shuffle; on top of it ONE host-keyed map-side-combined
+    hash agg (host cardinality-bounded) and per-row codegen tiering —
+    no window, no broadcast, no global sort."""
+    d = q_dataset_diff(spark, sf)
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    g = (d.select(host.alias("host"), "status")
+         .groupBy("host")
+         .agg(F.count("*").cast("long").alias("n_urls"),
+              F.sum(F.when(F.col("status") == "changed", 1)
+                    .otherwise(0)).cast("long").alias("n_changed"),
+              F.sum(F.when(F.col("status") == "added", 1)
+                    .otherwise(0)).cast("long").alias("n_added"),
+              F.sum(F.when(F.col("status") == "removed", 1)
+                    .otherwise(0)).cast("long").alias("n_removed")))
+    ppm = F.expr("((n_changed + n_added) * 1000000) div n_urls")
+    return (g.withColumn("change_ppm", ppm.cast("long"))
+            .withColumn("tier",
+                        F.when(F.col("change_ppm") >= _RP_HOT_PPM,
+                               F.lit("hot"))
+                        .when(F.col("change_ppm") >= _RP_WARM_PPM,
+                              F.lit("warm"))
+                        .otherwise(F.lit("cold")))
+            .withColumn("interval_days",
+                        F.when(F.col("tier") == "hot", F.lit(1))
+                        .when(F.col("tier") == "warm", F.lit(7))
+                        .otherwise(F.lit(30)).cast("long"))
+            .select("host", "n_urls", "n_changed", "n_added",
+                    "n_removed", "change_ppm", "tier", "interval_days"))
+
+
+def _refresh_priority_sql() -> str:
+    return f"""
+SELECT host, n_urls, n_changed, n_added, n_removed, change_ppm,
+       CASE WHEN change_ppm >= {_RP_HOT_PPM} THEN 'hot'
+            WHEN change_ppm >= {_RP_WARM_PPM} THEN 'warm'
+            ELSE 'cold' END AS tier,
+       (CASE WHEN change_ppm >= {_RP_HOT_PPM} THEN 1
+             WHEN change_ppm >= {_RP_WARM_PPM} THEN 7
+             ELSE 30 END)::BIGINT AS interval_days
+FROM (
+  SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+         count(*)::BIGINT AS n_urls,
+         sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT
+           AS n_changed,
+         sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT
+           AS n_added,
+         sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT
+           AS n_removed,
+         ((sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+           + sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END))
+          * 1000000 // count(*))::BIGINT AS change_ppm
+  FROM ({_dataset_diff_sql()}) AS d
+  GROUP BY 1
+) AS h
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1815,6 +1891,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_index": q_cdx_index,
     "zorder_layout": q_zorder_layout,
     "dataset_diff": q_dataset_diff,
+    "refresh_priority": q_refresh_priority,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -1840,4 +1917,5 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "cdx_index": _cdx_index_sql(),
     "zorder_layout": _zorder_layout_sql(),
     "dataset_diff": _dataset_diff_sql(),
+    "refresh_priority": _refresh_priority_sql(),
 }
