@@ -234,6 +234,20 @@ EXPECT: dict[str, list[str]] = {
     # ONE map-side-combined hash agg; scan prunes to (url, warc_ts)
     "zorder_layout": ["partial_count", "partial_min", "partial_max",
                       "ReadSchema: struct<url:string,warc_ts:timestamp"],
+    # round 5 (final): ablation — the bounded (<= 9 rules) explode feeds a
+    # map-side-combined per-rule agg; totals reach rule rows as a 1-row
+    # broadcast; the kernel pass stays the fused Arrow map
+    "rule_ablation": ["Generate", "partial_count",
+                      "BroadcastNestedLoopJoin", "MapInPandas"],
+    # round 5 (final): snapshot diff — both snapshots corpus-sized, so the
+    # url-keyed join must NOT broadcast (FullOuter SMJ/shuffle join);
+    # digests computed map-side, scan prunes to (url, text)
+    "dataset_diff": ["Join FullOuter", "SortMergeJoin",
+                     "ReadSchema: struct<url:string,text:string>"],
+    # round 5 (final): refresh tiers — one host-keyed map-side-combined
+    # rollup on top of the diff join; tiering is per-row codegen
+    "refresh_priority": ["Join FullOuter", "partial_count",
+                         "partial_sum"],
 }
 
 # Round 5 (VERDICT r4 #1/#3): the doc-dim offsets->tokens join and the
