@@ -323,18 +323,13 @@ def minhash_md5_pairs(documents: DataFrame, k: int = 16, bands: int = 4,
                     (n_match / F.lit(k)).alias("est_jaccard")))
 
 
-def simhash_md5(documents: DataFrame, nbits: int = 28,
-                id_col: str = "doc_id", text_col: str = "text",
-                salt: str = "") -> DataFrame:
-    """Portable-hash SimHash twin (28-bit fingerprint over the md5-derived
-    base hash): same sign-of-bit-count fold as simhash64, every stage
-    integer-exact, replayable in DuckDB. -> (doc_id, simhash).
-
-    `salt` prefixes every token before hashing — an independent second
-    hash family, so callers can widen the fingerprint past 28 bits by
-    concatenating salted variants (simhash_hamming_pairs builds a 56-bit
-    Manku fingerprint from salts '' and '~'). Default '' keeps the
-    expression tree byte-identical to the pre-salt kernel."""
+def simhash_md5_col(nbits: int = 28, text_col: str = "text",
+                    salt: str = ""):
+    """The portable simhash fold as a bare Column over `text_col` —
+    callers that need SEVERAL fingerprints per row (e.g. the salted
+    56-bit Manku fingerprint in simhash_hamming_pairs) evaluate them in
+    ONE projection over one corpus scan instead of joining per-salt
+    passes. Expression tree identical to what simhash_md5 emits."""
     seqn = F.lit(list(range(1, nbits + 1)))
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     # hash materialized ONCE per token (transform), not once per bit
@@ -348,7 +343,7 @@ def simhash_md5(documents: DataFrame, nbits: int = 28,
         F.array_repeat(F.lit(0).cast("long"), nbits),
         lambda acc, h: _add_bits(acc, h, seqn),
     )
-    fp = F.aggregate(
+    return F.aggregate(
         F.zip_with(counts, seqn,
                    lambda c, i: F.when(
                        c > 0, F.call_function("shiftleft",
@@ -357,6 +352,22 @@ def simhash_md5(documents: DataFrame, nbits: int = 28,
         F.lit(0).cast("long"),
         lambda a, x: a.bitwiseOR(x),
     )
+
+
+def simhash_md5(documents: DataFrame, nbits: int = 28,
+                id_col: str = "doc_id", text_col: str = "text",
+                salt: str = "") -> DataFrame:
+    """Portable-hash SimHash twin (28-bit fingerprint over the md5-derived
+    base hash): same sign-of-bit-count fold as simhash64, every stage
+    integer-exact, replayable in DuckDB. -> (doc_id, simhash).
+
+    `salt` prefixes every token before hashing — an independent second
+    hash family, so callers can widen the fingerprint past 28 bits by
+    concatenating salted variants (simhash_hamming_pairs builds a 56-bit
+    Manku fingerprint from salts '' and '~'). Default '' keeps the
+    expression tree byte-identical to the pre-salt kernel."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    fp = simhash_md5_col(nbits, text_col, salt)
     return (documents
             .where(F.size(toks) > 0)
             .select(id_col, fp.alias("simhash")))

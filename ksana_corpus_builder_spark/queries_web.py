@@ -1,28 +1,27 @@
-"""Web-graph / cross-snapshot queries — round-4 widening of the
-LLM-data-pipeline surface beyond the reference's own operators.
+"""Web-graph / cross-snapshot / crawl-ops queries — the round-4/5
+widening of the LLM-data-pipeline surface beyond the reference's own
+operators. Each entry is an oracle-checked (spark_fn, duckdb_sql) pair.
 
-Four capabilities a Common-Crawl-scale curation pipeline runs that the
-registry did not yet cover, each as an oracle-checked (spark_fn,
-duckdb_sql) pair:
+Round 4 (the original four): pagerank (integer-exact link centrality,
+unrolled-CTE replay), boilerplate_blocks (jusText-shape block
+extraction from raw HTML), cross_snapshot_dedup (dump-N-vs-history
+content-hash dedup), stream_dedup (the same dedup as STATEFUL
+Structured Streaming state across micro-batches).
 
-- pagerank: link-graph centrality (the classic crawl-prioritization /
-  quality-prior signal) as a fixed-iteration distributed computation,
-  integer-exact so three unrolled Lloyd-style SQL CTEs replay it
-  bit-for-bit (the ivf_kmeans_topk oracle pattern).
-- boilerplate_blocks: jusText/trafilatura-shape BLOCK-level content
-  extraction — classify each <p> block of the raw HTML independently and
-  re-assemble the main text from kept blocks (line_dedup operates on the
-  extracted text; this operates on the markup structure).
-- cross_snapshot_dedup: dedupe dump N against dumps 1..N-1 by content
-  hash — the incremental form of exact dedup every periodic crawl
-  ingest runs (within-corpus exact_dedup cannot express it).
-- stream_dedup: the same exact content dedup as a STATEFUL Structured
-  Streaming stage (dropDuplicates state carried across micro-batches;
-  maxFilesPerTrigger=1 forces the duplicate re-crawls into later
-  batches than their originals).
+Round 5 additions: hits_scores (Kleinberg hub/authority, exact BIGINT
+with L-inf half-step norms), charset_sniff (WHATWG BOM/meta encoding
+detection over the raw html bytes), simhash_hamming_pairs (Manku
+band-join near-dup pairing with exact popcount verify),
+label_prop_spam (TrustRank-family categorical label propagation),
+cdx_index (byte-accurate WARC/CDX shard manifest via a shard-
+partitioned prefix sum), zorder_layout (Morton-curve OPTIMIZE ZORDER
+file manifest with per-file min/max skip index), dataset_diff
+(snapshot-versioning added/removed/changed manifest over a corpus-
+sized full-outer join), refresh_priority (change-rate-driven re-crawl
+tiers on top of the diff).
 
-Scale notes are per-query; none of these collect, none are
-all-pairs, and the only broadcast is the O(1)-row scalar N.
+Scale notes are per-query; none of these collect, none are all-pairs,
+and the only broadcasts are O(1)-row scalars or dim-bounded tables.
 """
 
 from __future__ import annotations
@@ -1401,15 +1400,26 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
     bucket occupancy stays bounded, exactly the minhash-LSH band-join
     discipline this repo already runs. Verification is a per-candidate
     codegen XOR+popcount — no second pass over text."""
-    from .operators.dedup import simhash_md5
-    d = load(spark, sf, "documents")
-    s1 = simhash_md5(d, nbits=28)
-    s2 = (simhash_md5(d, nbits=28, salt="~")
-          .withColumnRenamed("simhash", "sh2"))
-    fp = (s1.join(s2, "doc_id")
+    from .operators.dedup import simhash_md5_col
+    # the sf testdata is ONE parquet file => one input split; spread the
+    # fold stage (at scale the scan has thousands of splits and this
+    # repartition disappears) — the minhash_md5 discipline
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    # BOTH salted folds evaluate in ONE projection over one corpus scan
+    # (no per-salt pass + join); zero-token docs drop as in simhash_md5
+    fp = (d.where(F.size(toks) > 0)
           .select("doc_id",
-                  (F.col("simhash")
-                   + F.expr("shiftleft(sh2, 28)")).alias("fp")))
+                  (simhash_md5_col(28)
+                   + F.shiftleft(simhash_md5_col(28, salt="~"), 28))
+                  .alias("fp")))
+    # Materialize the fingerprint table ONCE: the band rows and BOTH
+    # sides of the candidate self-join branch from it, and without a
+    # checkpoint each branch re-runs the HOF folds over the corpus. In
+    # production the fingerprint table is an at-rest artifact (Manku's
+    # sorted tables derive from it) — 16 bytes/doc, doc-keyed.
+    fp = fp.localCheckpoint()
     bands = (fp.select(
         "doc_id", "fp",
         F.explode(F.lit(list(range(_SH_BANDS)))).alias("b"))

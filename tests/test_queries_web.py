@@ -888,3 +888,138 @@ def test_hits_scale_safe_at_any_node_count(spark):
             F.expr(qw._HITS_S_EXPR).alias("s")).collect()[0].s
         assert got == qw.hits_scale(n)
         assert 2 * n * qw.hits_scale(n) <= 1 << 62 or qw.hits_scale(n) == 1
+
+
+# ----------------------- round-5 final additions (invariant pins)
+
+
+def test_simhash_hamming_pairs_invariants(spark):
+    """Band-join candidates never corrupt the verify: every emitted pair
+    has hamming <= the pigeonhole bound, ids are ordered and de-duped,
+    and byte-identical documents (fingerprint-equal by construction)
+    MUST surface as hamming-0 pairs — the recall floor the band split
+    guarantees."""
+    rows = qw.q_simhash_hamming_pairs(spark, SF).collect()
+    seen = set()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0 <= r.hamming <= qw._SH_MAXDIST
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs = docs[docs["text"].str.split(" ").map(
+        lambda t: any(x != "" for x in t))]
+    by_text = docs.groupby("text")["doc_id"].apply(list)
+    zero = {(a, b) for r in rows if r.hamming == 0
+            for a, b in [(r.id_a, r.id_b)]}
+    for ids in by_text:
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in zero, (ids[i], ids[j])
+
+
+def test_label_prop_seeds_clamped_and_votes_sane(spark):
+    """Seeds never change label (the semi-supervised clamp); non-seed
+    labels only ever take values a neighbor could have voted."""
+    rows = qw.q_label_prop_spam(spark, SF).collect()
+    assert len(rows) > 0
+    names = {0: "unknown", 1: "ham", 2: "spam"}
+    n_moved = 0
+    for r in rows:
+        if r.doc_id % 17 == 3:
+            assert r.label == 2, r
+        elif r.doc_id % 17 == 5:
+            assert r.label == 1, r
+        elif r.label != 0:
+            n_moved += 1
+        assert r.label_name == names[r.label]
+    assert n_moved > 0  # propagation genuinely spread labels
+
+
+def test_cdx_offsets_are_contiguous_and_digests_real(spark):
+    """Per shard the records tile the file exactly: first offset 0, each
+    next offset = previous offset + previous length; the digest is the
+    real md5 of the raw payload bytes."""
+    from ksana_corpus_builder_spark.sources.pages import STAGE_PATH
+    rows = qw.q_cdx_index(spark, SF).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.offset)
+        at = 0
+        for r in rs:
+            assert r.offset == at, (shard, r.url, r.offset, at)
+            at += r.length
+    pages = pd.read_parquet(STAGE_PATH, columns=["url", "html"])
+    digests = {r.url: r.digest for r in rows}
+    for _, p in pages.head(25).iterrows():
+        assert digests[p["url"]] == hashlib.md5(bytes(p["html"])).hexdigest()
+    # and the declared framing is byte-accurate: header + payload + 4
+    lengths = {r.url: r.length for r in rows}
+    p0 = pages.iloc[0]
+    hdr0 = (f"WARC/1.0\r\nWARC-Target-URI: {p0['url']}"
+            f"\r\nContent-Length: {len(bytes(p0['html']))}\r\n\r\n")
+    assert lengths[p0["url"]] == len(hdr0.encode()) + len(bytes(p0["html"])) + 4
+
+
+def test_zorder_groups_are_disjoint_and_complete(spark):
+    """File groups partition the z-key space in contiguous ranges, cover
+    every staged page, and each group's min/max stats stay inside its
+    declared key range (the skip-index soundness property)."""
+    from ksana_corpus_builder_spark.sources.pages import STAGE_N
+    rows = qw.q_zorder_layout(spark, SF).collect()
+    assert sum(r.n_pages for r in rows) == STAGE_N
+    for r in rows:
+        lo, hi = r.file_group * qw._ZO_GROUP, (r.file_group + 1) * qw._ZO_GROUP
+        assert lo <= r.z_min <= r.z_max < hi
+        assert 0 <= r.host_min <= r.host_max < 1 << qw._ZO_HBITS
+        assert 0 <= r.day_min <= r.day_max < 1 << qw._ZO_DBITS
+
+
+def test_dataset_diff_statuses_follow_buckets(spark):
+    """Every url's status is exactly what its derived md5 bucket
+    dictates — all four branches live."""
+    rows = qw.q_dataset_diff(spark, SF).collect()
+    counts: dict[str, int] = {}
+    for r in rows:
+        counts[r.status] = counts.get(r.status, 0) + 1
+        if r.url.endswith("/v2"):
+            assert r.status == "added" and not r.in_old
+            continue
+        b = int(hashlib.md5(r.url.encode()).hexdigest()[0], 16) % 16
+        if b in (0, 1):
+            assert r.status == "removed" and not r.in_new
+        elif b in (2, 3):
+            assert r.status == "changed" and r.in_old and r.in_new
+        else:
+            assert r.status == "unchanged"
+    assert set(counts) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_refresh_priority_tiers_consistent(spark):
+    """Tier and interval follow the ppm thresholds exactly; host change
+    counts re-aggregate the diff manifest."""
+    diff = qw.q_dataset_diff(spark, SF).collect()
+    per_host: dict[str, dict[str, int]] = {}
+    for r in diff:
+        host = r.url.split("https://")[1].split("/")[0]
+        d = per_host.setdefault(host, {"n": 0, "chg": 0, "add": 0})
+        d["n"] += 1
+        if r.status == "changed":
+            d["chg"] += 1
+        if r.status == "added":
+            d["add"] += 1
+    rows = qw.q_refresh_priority(spark, SF).collect()
+    assert {r.host for r in rows} == set(per_host)
+    for r in rows:
+        d = per_host[r.host]
+        assert (r.n_urls, r.n_changed, r.n_added) == (d["n"], d["chg"], d["add"])
+        assert r.change_ppm == ((d["chg"] + d["add"]) * 1_000_000) // d["n"]
+        want = ("hot" if r.change_ppm >= qw._RP_HOT_PPM else
+                "warm" if r.change_ppm >= qw._RP_WARM_PPM else "cold")
+        assert r.tier == want
+        assert r.interval_days == {"hot": 1, "warm": 7, "cold": 30}[r.tier]
