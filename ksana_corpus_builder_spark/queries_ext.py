@@ -385,6 +385,60 @@ s AS (SELECT id_a, id_b,
 SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= {_NEARDUP_T}
 """
 
+# ---------------- contrastive triplet mining (embedding training prep)
+
+
+def q_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive TRIPLET mining for embedding-model training — the
+    (anchor, positive, negative) set a retrieval/embedding fine-tune
+    consumes (SimCSE/SBERT-style): positives are the mined cosine
+    near-dup pairs (the same block-BLAS miner `embed_neardup` runs),
+    negatives are a deterministic hash walk over the corpus with the
+    two degenerate cases removed — a candidate that IS the anchor or
+    the positive, or that is itself a mined near-dup of the anchor
+    (an anti-join against the symmetric pair set; a real miner drops
+    such false negatives rather than re-sampling, and so does this —
+    deterministically, so both engines agree row-for-row).
+
+    100 TB shape: pair mining inherits embed_neardup's blocked plan
+    (never per-pair expression evaluation); negative candidates are
+    per-row arithmetic off a broadcast 1-row N; the false-negative
+    guard is ONE (anchor, neg)-keyed anti join against the pair set —
+    pair-table-sized, shuffle-keyed, no broadcast of anything
+    corpus-sized."""
+    e = load(spark, sf, "embeddings")
+    n = e.agg(F.count("*").alias("n"))
+    pairs = ann.block_cosine_pairs(e, _NEARDUP_T, blocks=8)
+    cand = (pairs.crossJoin(F.broadcast(n))
+            .withColumn("neg", (F.col("id_a") * 7919 + 13) % F.col("n"))
+            .where((F.col("neg") != F.col("id_a"))
+                   & (F.col("neg") != F.col("id_b"))))
+    p1 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    sym = p1.unionAll(p1.select(F.col("y").alias("x"),
+                                F.col("x").alias("y")))
+    return (cand.join(sym, (cand.id_a == sym.x) & (cand.neg == sym.y),
+                      "left_anti")
+            .select(F.col("id_a").alias("anchor"),
+                    F.col("id_b").alias("positive"),
+                    F.col("neg").cast("long").alias("negative"),
+                    F.col("cos_sim").alias("pos_sim")))
+
+
+_SQL_CONTRASTIVE_PAIRS = f"""
+WITH pr AS ({_SQL_EMBED_NEARDUP}),
+n AS (SELECT count(*) AS n FROM embeddings),
+c AS (SELECT id_a, id_b, cos_sim, (id_a * 7919 + 13) % n.n AS neg
+      FROM pr, n),
+cf AS (SELECT * FROM c WHERE neg <> id_a AND neg <> id_b),
+sym AS (SELECT id_a AS x, id_b AS y FROM pr
+        UNION ALL SELECT id_b, id_a FROM pr)
+SELECT cf.id_a AS anchor, cf.id_b AS positive, cf.neg::BIGINT AS negative,
+       cf.cos_sim AS pos_sim
+FROM cf LEFT JOIN sym ON cf.id_a = sym.x AND cf.neg = sym.y
+WHERE sym.x IS NULL
+"""
+
+
 # ------------------------------------- document fingerprint (banded min)
 
 _FP_BANDS = 4
@@ -1300,6 +1354,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reverse_links": q_reverse_links,
     "value_buckets": q_value_buckets,
     "embed_neardup": q_embed_neardup,
+    "contrastive_pairs": q_contrastive_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_bpe": q_token_count_bpe,
     "quality_score": q_quality_score,
@@ -1344,6 +1399,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "reverse_links": _SQL_REVERSE_LINKS,
     "value_buckets": _SQL_VALUE_BUCKETS,
     "embed_neardup": _SQL_EMBED_NEARDUP,
+    "contrastive_pairs": _SQL_CONTRASTIVE_PAIRS,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "token_count_bpe": _SQL_TOKEN_COUNT_BPE,
     # quality_score SQL is composed in queries.py (owns _SQL_KEEP_DROP)
