@@ -1235,6 +1235,96 @@ FROM bins LEFT JOIN cnt ON cnt.doc_id = bins.doc_id AND cnt.bin = bins.bin
 """
 
 
+# --------------- product quantization (FAISS-PQ shape) ADC top-k
+
+_PQ_M = 4        # subspaces
+_PQ_SUB = 16     # dims per subspace (4 x 16 = the 64-dim embedding)
+_PQ_K = 8        # centroids per subspace codebook (first-k init)
+
+
+def q_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-Quantization ANN (Jégou et al. 2011, the FAISS PQ shape) —
+    completes the compression family next to `quantized_topk` (scalar
+    int8): each vector splits into {m} subspaces of {sub} dims; each
+    subspace gets a {k}-centroid codebook (first-{k} sample init, the
+    ivf convention); a vector's code is the per-subspace L2 argmin
+    (6dp-rounded, tie -> lowest centroid — the packed max-key trick in
+    argMIN form: min(dist_micro * {k2} + centroid) needs no window);
+    query distance is ASYMMETRIC (ADC): a 1-row-per-(subspace, centroid)
+    lookup table of query-to-centroid distances, summed per vector over
+    its codes in exact BIGINT micro-units (1e-6), so the whole
+    encode -> table -> estimate chain replays bit-for-bit in SQL.
+
+    100 TB shape: the codebook is {m}x{k} rows -> broadcast onto the
+    vector stream (vectors shuffle NOWHERE: encode is a per-row map
+    against the broadcast codebook, {mk} candidate rows per vector
+    combined map-side by the packed argmin agg); the ADC table is
+    query-sized ({mk} rows, broadcast); top-k is TakeOrdered, never a
+    global sort. Memory story: {m} bytes/vector at rest vs
+    {dim}x4 floats — the billion-scale regime PQ exists for."""
+    e = load(spark, sf, "embeddings")
+    cents = (e.where(F.col("vec_id") < _PQ_K)
+             .select(F.col("vec_id").alias("cb"),
+                     F.col("embedding").alias("cemb")))
+    sub = F.explode(F.lit(list(range(_PQ_M)))).alias("j")
+    pairs = (e.select("vec_id", "embedding", sub)
+             .crossJoin(F.broadcast(cents)))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.expr(f"slice(embedding, j * {_PQ_SUB} + 1, {_PQ_SUB})"),
+            F.expr(f"slice(cemb, j * {_PQ_SUB} + 1, {_PQ_SUB})"),
+            lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    d6 = F.round(d2 * F.lit(1_000_000.0)).cast("long")
+    enc = (pairs.select("vec_id", "j",
+                        (d6 * _PQ_K + F.col("cb")).alias("mk"))
+           .groupBy("vec_id", "j").agg(F.min("mk").alias("mk"))
+           .select("vec_id", "j", F.expr(f"mk % {_PQ_K}").alias("code")))
+    qt = (pairs.where(F.col("vec_id") == 0)
+          .select("j", F.col("cb").alias("code"), d6.alias("qd6")))
+    est = (enc.join(F.broadcast(qt), ["j", "code"])
+           .groupBy("vec_id").agg(F.sum("qd6").alias("est")))
+    codes = [F.max(F.when(F.col("j") == j, F.col("code")))
+             .cast("long").alias(f"c{j}") for j in range(_PQ_M)]
+    wide = enc.groupBy("vec_id").agg(*codes)
+    return (wide.join(est, "vec_id")
+            .select("vec_id", *[f"c{j}" for j in range(_PQ_M)],
+                    F.col("est").cast("long").alias("est_d2_micro"))
+            .orderBy("est_d2_micro", "vec_id").limit(10))
+
+
+q_pq_topk.__doc__ = q_pq_topk.__doc__.format(
+    m=_PQ_M, sub=_PQ_SUB, k=_PQ_K, k2=_PQ_K, mk=_PQ_M * _PQ_K, dim=64)
+
+
+_SQL_PQ_TOPK = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+cents AS (SELECT vec_id AS cb, emb AS cemb FROM e WHERE vec_id < {_PQ_K}),
+pairs AS (
+  SELECT e.vec_id, j, cents.cb,
+    round(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+      i -> (emb[j * {_PQ_SUB} + i] - cemb[j * {_PQ_SUB} + i])
+           * (emb[j * {_PQ_SUB} + i] - cemb[j * {_PQ_SUB} + i])))
+      * 1000000.0)::BIGINT AS d6
+  FROM e, unnest(range(0, {_PQ_M})) AS u(j), cents),
+enc AS (SELECT vec_id, j, (min(d6 * {_PQ_K} + cb) % {_PQ_K}) AS code
+        FROM pairs GROUP BY vec_id, j),
+qt AS (SELECT j, cb AS code, d6 AS qd6 FROM pairs WHERE vec_id = 0),
+est AS (SELECT enc.vec_id, sum(qt.qd6) AS est
+        FROM enc JOIN qt ON enc.j = qt.j AND enc.code = qt.code
+        GROUP BY enc.vec_id),
+wide AS (SELECT vec_id,
+           {", ".join(f"max(CASE WHEN j = {j} THEN code END)::BIGINT AS c{j}"
+                      for j in range(_PQ_M))}
+         FROM enc GROUP BY vec_id)
+SELECT wide.vec_id, {", ".join(f"c{j}" for j in range(_PQ_M))},
+       est::BIGINT AS est_d2_micro
+FROM wide JOIN est ON wide.vec_id = est.vec_id
+ORDER BY est_d2_micro, wide.vec_id LIMIT 10
+"""
+
+
 def q_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k over int8-quantized vectors (4x memory cut). The oracle
     replays the whole quantize -> dequantize -> cosine chain in SQL
@@ -1355,6 +1445,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_buckets": q_value_buckets,
     "embed_neardup": q_embed_neardup,
     "contrastive_pairs": q_contrastive_pairs,
+    "pq_topk": q_pq_topk,
     "doc_fingerprint": q_doc_fingerprint,
     "token_count_bpe": q_token_count_bpe,
     "quality_score": q_quality_score,
@@ -1400,6 +1491,7 @@ ORACLE_SQL_EXT: dict[str, str] = {
     "value_buckets": _SQL_VALUE_BUCKETS,
     "embed_neardup": _SQL_EMBED_NEARDUP,
     "contrastive_pairs": _SQL_CONTRASTIVE_PAIRS,
+    "pq_topk": _SQL_PQ_TOPK,
     "doc_fingerprint": _SQL_DOC_FINGERPRINT,
     "token_count_bpe": _SQL_TOKEN_COUNT_BPE,
     # quality_score SQL is composed in queries.py (owns _SQL_KEEP_DROP)
