@@ -76,6 +76,10 @@ def oracle_sql() -> dict[str, str]:
     _ensure_staged_pages()
     # stream_dedup's staged input (pages + re-crawl file) is pandas-built
     # and cardinality-validated by the same helper its Spark query uses
-    from ksana_corpus_builder_spark.sources.pages import stage_stream_dedup
+    from ksana_corpus_builder_spark.sources.pages import (stage_jsonl,
+                                                          stage_stream_dedup)
     stage_stream_dedup()
+    # jsonl_ingest's staged file is python-built and sentinel-validated
+    # by the same helper its Spark query calls
+    stage_jsonl()
     return dict(ORACLE_SQL)

@@ -1119,6 +1119,8 @@ _DRIVER_WINDOW = [
     # contrastive_pairs enters; classifier_train rotates out (D4-green
     # in CORRECTNESS_r04, untouched since). pq_topk enters; url_filter
     # rotates out (D4-green in CORRECTNESS_r04, untouched since).
+    # jsonl_ingest enters; intra_line_dedup rotates out (D4-green in
+    # CORRECTNESS_r04, untouched since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
@@ -1129,7 +1131,7 @@ _DRIVER_WINDOW = [
     "simhash_hamming_pairs", "label_prop_spam", "cdx_index",
     "gopher_ngram_gates", "zorder_layout",
     "rule_ablation", "dataset_diff", "refresh_priority",
-    "contrastive_pairs", "pq_topk",
+    "contrastive_pairs", "pq_topk", "jsonl_ingest",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
@@ -1139,7 +1141,7 @@ _DRIVER_WINDOW = [
     # round-4 additions (oracle-backed first)
     "line_dedup",
     "pagerank", "boilerplate_blocks",
-    "intra_line_dedup", "c4_line_filter",
+    "c4_line_filter",
     "minhash_dedup", "corpus_manifest", "corpus_datacard",
     "cross_snapshot_minhash", "pack_sequences", "bpe_pair_counts",
     # rows-only: never driver-checked sketches (weaker rows-count check)

@@ -1876,6 +1876,55 @@ FROM (
 """
 
 
+# ---------------- JSONL crawl-dump ingestion (the distribution format)
+
+_JSONL_SCHEMA = ("url string, warc_ts string, html_b64 string, "
+                 "text string, lang string")
+
+
+def q_jsonl_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Newline-delimited-JSON corpus ingestion — the wire format public
+    LLM corpora actually distribute in (Dolma, RedPajama, FineWeb ship
+    jsonl.gz; binary WARC payloads ride as base64 strings). The staged
+    file is written by pure python (no Spark) so both engines consume
+    byte-identical lines; the query proves the full decode chain: JSON
+    field extraction under an EXPLICIT schema, ISO-8601 timestamp cast,
+    base64 -> raw payload bytes with octet length and md5 digest (the
+    downstream dedup key), and text length — field-for-field exact
+    against DuckDB's independent read_json.
+
+    100 TB shape: JSONL is line-splittable, so the scan parallelizes
+    like parquet; the schema is PINNED (no inference pre-scan of the
+    corpus — on 100 TB an inference pass IS a full extra read); parse,
+    unbase64, md5 and casts are all JVM-side per-row codegen — zero
+    shuffle, zero Python."""
+    from .sources.pages import stage_jsonl
+    path = stage_jsonl()
+    j = spark.read.schema(_JSONL_SCHEMA).json(path)
+    raw = F.unbase64("html_b64")
+    return j.select(
+        "url",
+        F.col("warc_ts").cast("timestamp").alias("ts"),
+        "lang",
+        F.octet_length(raw).cast("long").alias("n_bytes"),
+        F.md5(raw).alias("digest"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
+def _jsonl_ingest_sql() -> str:
+    from .sources.pages import JSONL_PATH
+    return f"""
+SELECT url, warc_ts::TIMESTAMP AS ts, lang,
+       octet_length(from_base64(html_b64))::BIGINT AS n_bytes,
+       md5(decode(from_base64(html_b64))) AS digest,
+       len(text)::BIGINT AS n_chars
+FROM read_json('{JSONL_PATH}', format='newline_delimited',
+               columns={{url: 'VARCHAR', warc_ts: 'VARCHAR',
+                         html_b64: 'VARCHAR', text: 'VARCHAR',
+                         lang: 'VARCHAR'}})
+"""
+
+
 # ================================================================ registry
 
 QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1902,6 +1951,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_layout": q_zorder_layout,
     "dataset_diff": q_dataset_diff,
     "refresh_priority": q_refresh_priority,
+    "jsonl_ingest": q_jsonl_ingest,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -1928,4 +1978,5 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "zorder_layout": _zorder_layout_sql(),
     "dataset_diff": _dataset_diff_sql(),
     "refresh_priority": _refresh_priority_sql(),
+    "jsonl_ingest": _jsonl_ingest_sql(),
 }

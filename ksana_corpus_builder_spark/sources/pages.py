@@ -213,3 +213,57 @@ def stage_stream_dedup() -> str:
                               for f in t.schema]))
         pq.write_table(t, os.path.join(STREAM_DEDUP_PATH, part))
     return STREAM_DEDUP_PATH
+
+
+# ---- JSONL crawl-dump staged input (the Dolma/RedPajama wire format)
+
+JSONL_PATH = "/tmp/ksana_jsonl/current.jsonl"
+
+
+def stage_jsonl() -> str:
+    """Stage the pages corpus as NEWLINE-DELIMITED JSON with the binary
+    payload base64-encoded — the wire format public LLM corpora actually
+    ship in (Dolma, RedPajama, FineWeb dumps are jsonl.gz; WARC payloads
+    ride as base64 strings). Pure python/pandas (no SparkSession) so the
+    Spark reader and the DuckDB read_json twin consume byte-identical
+    files; a pre-existing stage is trusted only after a sentinel-row
+    content check (the stage_stream_dedup discipline)."""
+    import base64
+    import json
+    import os
+
+    def _row(i: int, pdf) -> dict:
+        return {
+            "url": pdf["url"][0],
+            "warc_ts": pdf["warc_ts"][0].isoformat(),
+            "html_b64": base64.b64encode(bytes(pdf["html"][0])).decode(),
+            "text": pdf["text"][0],
+            "lang": pdf["lang"][0],
+        }
+
+    def _line(i: int) -> str:
+        return json.dumps(_row(i, make_pages_pdf(1, seed=42, start_id=i)),
+                          ensure_ascii=True, separators=(",", ":"))
+
+    if os.path.isfile(JSONL_PATH):
+        with open(JSONL_PATH, encoding="utf-8") as f:
+            lines = f.read().splitlines()
+        if (len(lines) == STAGE_N and lines[0] == _line(0)
+                and lines[-1] == _line(STAGE_N - 1)):
+            return JSONL_PATH
+    os.makedirs(os.path.dirname(JSONL_PATH), exist_ok=True)
+    pdf = make_pages_pdf(STAGE_N, seed=42)
+    with open(JSONL_PATH + ".tmp", "w", encoding="utf-8") as f:
+        for i in range(STAGE_N):
+            row = {
+                "url": pdf["url"][i],
+                "warc_ts": pdf["warc_ts"][i].isoformat(),
+                "html_b64": base64.b64encode(
+                    bytes(pdf["html"][i])).decode(),
+                "text": pdf["text"][i],
+                "lang": pdf["lang"][i],
+            }
+            f.write(json.dumps(row, ensure_ascii=True,
+                               separators=(",", ":")) + "\n")
+    os.replace(JSONL_PATH + ".tmp", JSONL_PATH)
+    return JSONL_PATH
