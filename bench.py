@@ -66,7 +66,7 @@ HEADLINE = (
     "simhash_hamming_pairs", "label_prop_spam", "cdx_index",
     "gopher_ngram_gates", "zorder_layout",
     "rule_ablation", "dataset_diff", "refresh_priority",
-    "contrastive_pairs", "pq_topk", "jsonl_ingest",
+    "contrastive_pairs", "pq_topk", "jsonl_ingest", "lang_confusion",
 )
 
 

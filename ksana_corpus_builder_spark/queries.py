@@ -712,6 +712,46 @@ def q_pages_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.round("perplexity", 6).alias("perplexity"))
 
 
+def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Claimed-vs-detected language confusion matrix — the metadata-audit
+    artifact a multilingual corpus publishes before trusting upstream
+    language tags (crawl metadata lies; the staged generator plants a
+    ~10% claimed-language mismatch, so disagreement cells are genuinely
+    populated): one row per (claimed, detected) pair with the page count
+    and the agreement flag, detection by the SAME fused langid kernel
+    the flagship runs.
+
+    100 TB shape: the kernel pass is the fused Arrow map; the claimed
+    tag joins back url-keyed (with bucketed-at-rest layout the join is
+    Exchange-free); the matrix agg map-side combines to at most
+    n_langs^2 rows."""
+    from .plans import quality_pipeline as qp
+    staged = spark.read.parquet(stage_pages(spark, sf))
+    det = (qp.labels(qp.process(staged, buckets=8))
+           .select("url", F.col("lang_detected").alias("detected")))
+    j = (staged.select("url", F.col("lang").alias("claimed"))
+         .join(det, "url"))
+    return (j.select("claimed", "detected",
+                     (F.col("claimed") == F.col("detected")).alias("agree"))
+            .groupBy("claimed", "detected", "agree")
+            .agg(F.count("*").cast("long").alias("n_pages")))
+
+
+def _lang_confusion_sql() -> str:
+    lg = _langid_sql("pages_in", "url", _WS_TOKS_SQL.format(col="lower(text)"))
+    return f"""
+WITH pages_in AS (
+  SELECT url, text, lang FROM read_parquet('{_PAGES_STAGE}/*.parquet')
+),
+lg AS ({lg})
+SELECT p.lang AS claimed, lg.lang_detected AS detected,
+       (p.lang = lg.lang_detected) AS agree,
+       count(*)::BIGINT AS n_pages
+FROM pages_in p JOIN lg ON p.url = lg.url
+GROUP BY 1, 2, 3
+"""
+
+
 def _perplexity_cte(tbl: str, id_col: str) -> str:
     """SQL subquery computing (id, perplexity rounded to 6dp) over
     tbl(id, text): the integer-exact char-bigram LM replay (see
@@ -998,6 +1038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "pages_pipeline": q_pages_pipeline,
+    "lang_confusion": q_lang_confusion,
     "lsh_topk": q_lsh_topk,
     "rule_ablation": q_rule_ablation,
 }
@@ -1034,6 +1075,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_topk": _SQL_ANN_TOPK,
     "lsh_topk": _lsh_topk_sql(),
     "pages_pipeline": _pages_pipeline_sql(),
+    "lang_confusion": _lang_confusion_sql(),
     # the streaming execution of the same pipeline over the same staged
     # input must produce the same rows — identical twin by construction
     "stream_quality": _pages_pipeline_sql(),
@@ -1120,7 +1162,9 @@ _DRIVER_WINDOW = [
     # in CORRECTNESS_r04, untouched since). pq_topk enters; url_filter
     # rotates out (D4-green in CORRECTNESS_r04, untouched since).
     # jsonl_ingest enters; intra_line_dedup rotates out (D4-green in
-    # CORRECTNESS_r04, untouched since).
+    # CORRECTNESS_r04, untouched since). lang_confusion enters;
+    # c4_line_filter rotates out (D4-green in CORRECTNESS_r04,
+    # untouched since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
@@ -1132,6 +1176,7 @@ _DRIVER_WINDOW = [
     "gopher_ngram_gates", "zorder_layout",
     "rule_ablation", "dataset_diff", "refresh_priority",
     "contrastive_pairs", "pq_topk", "jsonl_ingest",
+    "lang_confusion",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
@@ -1141,7 +1186,6 @@ _DRIVER_WINDOW = [
     # round-4 additions (oracle-backed first)
     "line_dedup",
     "pagerank", "boilerplate_blocks",
-    "c4_line_filter",
     "minhash_dedup", "corpus_manifest", "corpus_datacard",
     "cross_snapshot_minhash", "pack_sequences", "bpe_pair_counts",
     # rows-only: never driver-checked sketches (weaker rows-count check)
