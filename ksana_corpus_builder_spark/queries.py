@@ -1164,7 +1164,8 @@ _DRIVER_WINDOW = [
     # jsonl_ingest enters; intra_line_dedup rotates out (D4-green in
     # CORRECTNESS_r04, untouched since). lang_confusion enters;
     # c4_line_filter rotates out (D4-green in CORRECTNESS_r04,
-    # untouched since).
+    # untouched since). stupid_backoff enters; corpus_datacard rotates
+    # out (D4-green in CORRECTNESS_r04, untouched since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
@@ -1176,7 +1177,7 @@ _DRIVER_WINDOW = [
     "gopher_ngram_gates", "zorder_layout",
     "rule_ablation", "dataset_diff", "refresh_priority",
     "contrastive_pairs", "pq_topk", "jsonl_ingest",
-    "lang_confusion",
+    "lang_confusion", "stupid_backoff",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
@@ -1186,7 +1187,7 @@ _DRIVER_WINDOW = [
     # round-4 additions (oracle-backed first)
     "line_dedup",
     "pagerank", "boilerplate_blocks",
-    "minhash_dedup", "corpus_manifest", "corpus_datacard",
+    "minhash_dedup", "corpus_manifest",
     "cross_snapshot_minhash", "pack_sequences", "bpe_pair_counts",
     # rows-only: never driver-checked sketches (weaker rows-count check)
     # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB

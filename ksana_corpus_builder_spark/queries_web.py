@@ -1876,6 +1876,108 @@ FROM (
 """
 
 
+# -------------- Stupid Backoff LM scoring (Brants et al., EMNLP 2007)
+
+
+def q_stupid_backoff(spark: SparkSession, sf: str) -> DataFrame:
+    """Stupid-Backoff trigram LM scoring — THE web-scale smoothing
+    (Brants et al. 2007, 'Large Language Models in Machine
+    Translation': at trillions of tokens, skip normalization entirely
+    and back off with a fixed alpha = 0.4). Trains trigram / bigram /
+    unigram counts on the same reference slice `lm_train_score` uses,
+    then scores every trigram position: c123/c12 if the trigram was
+    seen, else 0.4 * c23/c2, else 0.4^2 * c3/T. Every branch is an
+    integer ppm quotient (alpha as the exact rational 2/5), so both
+    engines replay the whole backoff chain bit-for-bit.
+
+    100 TB shape: the count tables are corpus-derived (the paper's
+    entire point is they don't fit anywhere) — all five scoring joins
+    are plain shuffle hash joins on their n-gram keys, never broadcast;
+    only the 1-row token total T broadcasts; counts build with map-side
+    partial aggregation and the per-doc mean is one combined agg."""
+    d = load(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t = (d.select("doc_id", toks.alias("toks"))
+         .where(F.size("toks") >= 3))
+    tg = F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.struct(F.element_at("toks", i).alias("w1"),
+                           F.element_at("toks", i + 1).alias("w2"),
+                           F.element_at("toks", i + 2).alias("w3"))))
+    tris = (t.select("doc_id", tg.alias("g"))
+            .select("doc_id", "g.w1", "g.w2", "g.w3"))
+    train = tris.where(F.col("doc_id") % 7 == 1)
+    tri = train.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    # bigram/unigram counts derive from the trigram table's CONTEXT side
+    # (every training bigram/unigram occurrence heads >= 0 trigrams; the
+    # (w1,w2) context roll-up counts each trigram once — the standard
+    # count-of-counts derivation, no token recount)
+    big = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    tot = uni.agg(F.sum("c1").alias("t"))
+    ctx = big.select(F.col("w1").alias("x1"), F.col("w2").alias("x2"),
+                     F.col("c12").alias("ctx12"))
+    b23 = big.select(F.col("w1").alias("y2"), F.col("w2").alias("y3"),
+                     F.col("c12").alias("c23"))
+    u2 = uni.select(F.col("w1").alias("z2"), F.col("c1").alias("cu2"))
+    u3 = uni.select(F.col("w1").alias("z3"), F.col("c1").alias("cu3"))
+    s = (tris.join(tri, ["w1", "w2", "w3"], "left")
+         .join(ctx, (F.col("w1") == F.col("x1"))
+               & (F.col("w2") == F.col("x2")), "left")
+         .join(b23, (F.col("w2") == F.col("y2"))
+               & (F.col("w3") == F.col("y3")), "left")
+         .join(u2, F.col("w2") == F.col("z2"), "left")
+         .join(u3, F.col("w3") == F.col("z3"), "left")
+         .crossJoin(F.broadcast(tot)))
+    q = (F.when(F.coalesce("c123", F.lit(0)) > 0,
+                _lm_idiv(F.col("c123") * _LM_Q, F.col("ctx12")))
+         .when(F.coalesce("c23", F.lit(0)) > 0,
+               _lm_idiv(2 * F.col("c23") * _LM_Q, 5 * F.col("cu2")))
+         .otherwise(_lm_idiv(4 * F.coalesce("cu3", F.lit(0)) * _LM_Q,
+                             25 * F.col("t"))))
+    per = (s.select("doc_id", q.alias("q"))
+           .groupBy("doc_id").agg(F.count("*").alias("nt"),
+                                  F.sum("q").alias("sq")))
+    return (d.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("nt", F.lit(0)).cast("long")
+                    .alias("n_trigrams"),
+                    F.coalesce(_lm_idiv(F.col("sq"), F.col("nt")),
+                               F.lit(0)).cast("long").alias("sb_score")))
+
+
+_SQL_STUPID_BACKOFF = f"""
+WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+p AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+      FROM (SELECT * FROM t WHERE len(toks) >= 3),
+           unnest(range(1, len(toks) - 1)) AS u(i)),
+tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM p WHERE doc_id % 7 = 1
+        GROUP BY 1, 2, 3),
+big AS (SELECT w1, w2, sum(c123) AS c12 FROM tri GROUP BY 1, 2),
+uni AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+tot AS (SELECT sum(c1) AS t FROM uni),
+sc AS (SELECT p.doc_id,
+         CASE WHEN coalesce(tri.c123, 0) > 0
+                THEN (tri.c123 * {_LM_Q}) // ctx.c12
+              WHEN coalesce(b23.c12, 0) > 0
+                THEN (2 * b23.c12 * {_LM_Q}) // (5 * u2.c1)
+              ELSE (4 * coalesce(u3.c1, 0) * {_LM_Q}) // (25 * tot.t)
+         END AS q
+       FROM p
+       LEFT JOIN tri USING (w1, w2, w3)
+       LEFT JOIN big ctx ON p.w1 = ctx.w1 AND p.w2 = ctx.w2
+       LEFT JOIN big b23 ON p.w2 = b23.w1 AND p.w3 = b23.w2
+       LEFT JOIN uni u2 ON p.w2 = u2.w1
+       LEFT JOIN uni u3 ON p.w3 = u3.w1, tot),
+per AS (SELECT doc_id, count(*) AS nt, sum(q) AS sq FROM sc GROUP BY 1)
+SELECT d.doc_id, coalesce(per.nt, 0)::BIGINT AS n_trigrams,
+       coalesce(per.sq // per.nt, 0)::BIGINT AS sb_score
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 # ---------------- JSONL crawl-dump ingestion (the distribution format)
 
 _JSONL_SCHEMA = ("url string, warc_ts string, html_b64 string, "
@@ -1952,6 +2054,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_diff": q_dataset_diff,
     "refresh_priority": q_refresh_priority,
     "jsonl_ingest": q_jsonl_ingest,
+    "stupid_backoff": q_stupid_backoff,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -1979,4 +2082,5 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "dataset_diff": _dataset_diff_sql(),
     "refresh_priority": _refresh_priority_sql(),
     "jsonl_ingest": _jsonl_ingest_sql(),
+    "stupid_backoff": _SQL_STUPID_BACKOFF,
 }
