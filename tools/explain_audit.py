@@ -260,6 +260,17 @@ EXPECT: dict[str, list[str]] = {
     # TakeOrdered (never a global sort)
     "pq_topk": ["BroadcastNestedLoopJoin", "partial_min",
                 "BroadcastHashJoin", "TakeOrderedAndProject"],
+    # round 5 (final): JSONL ingestion — a line-splittable json scan
+    # under the PINNED schema (no inference pre-scan), zero shuffle
+    "jsonl_ingest": ["Scan json"],
+    # round 5 (final): the language audit runs the fused kernel map and
+    # ONE map-side-combined matrix agg
+    "lang_confusion": ["MapInPandas", "partial_count"],
+    # round 5 (final): stupid backoff — count tables partial-combine
+    # map-side; only the 1-row token total is a broadcast cross join;
+    # the scoring joins are size-aware (see EXPECT_NOHINT)
+    "stupid_backoff": ["partial_count", "partial_sum",
+                       "BroadcastNestedLoopJoin"],
 }
 
 # Round 5 (VERDICT r4 #1/#3): the doc-dim offsets->tokens join and the
@@ -283,6 +294,9 @@ EXPECT_NOHINT: dict[str, list[str]] = {
     # round 5 (closing): both corpus-sized sides of every pointer-doubling
     # round carry no hint and must demote
     "redirect_resolve": ["SortMergeJoin"],
+    # round 5 (final): the backoff count tables are corpus-derived
+    # (Brants's point) — the scoring joins carry no hint and must demote
+    "stupid_backoff": ["SortMergeJoin"],
     # round 5 (closing): the byte-offsets->docs join demotes; the
     # chunk-dim totals joins inside the prefix sum stay hinted by design
     "shard_manifest": ["SortMergeJoin", "BroadcastHashJoin"],
