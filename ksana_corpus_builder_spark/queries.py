@@ -685,8 +685,35 @@ def stage_pages(spark: SparkSession, sf: str) -> str:
     (not derived from the sf tables), and a single fixed cardinality means
     an oracle evaluated at any sf — or before its Spark twin, from the
     pre-seed in __spark_entry__ — always reads the same table (ADVICE r3:
-    the old per-sf n keyed nothing to the staged dir)."""
-    from .sources.pages import STAGE_N, pages_df
+    the old per-sf n keyed nothing to the staged dir).
+
+    IDEMPOTENT: a pre-existing stage is reused only after the same
+    cardinality + content-sentinel validation __spark_entry__'s pre-seed
+    applies (ADVICE r4 #2 — drift is restaged, never trusted). Without
+    the short-circuit, a composition query whose sub-stacks each call
+    stage_pages (host_reputation joins three) would overwrite the
+    staged files between captures and invalidate the earlier
+    DataFrames' file lists mid-plan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .sources.pages import STAGE_N, make_pages_pdf, pages_df
+    if os.path.isdir(_PAGES_STAGE):
+        parts = [os.path.join(_PAGES_STAGE, f)
+                 for f in os.listdir(_PAGES_STAGE) if f.endswith(".parquet")]
+        try:
+            if parts:
+                n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+                p0 = (pq.read_table(min(parts), columns=["url", "text"])
+                      .to_pandas())
+                exp = make_pages_pdf(1, seed=42)
+                if (n == STAGE_N and len(p0) > 0
+                        and p0.iloc[0]["url"] == exp["url"][0]
+                        and p0.iloc[0]["text"] == exp["text"][0]):
+                    return _PAGES_STAGE
+        except Exception:
+            pass  # unreadable/partial stage -> rewrite below
     pages_df(spark, STAGE_N).write.mode("overwrite").parquet(_PAGES_STAGE)
     return _PAGES_STAGE
 
@@ -749,6 +776,73 @@ SELECT p.lang AS claimed, lg.lang_detected AS detected,
        count(*)::BIGINT AS n_pages
 FROM pages_in p JOIN lg ON p.url = lg.url
 GROUP BY 1, 2, 3
+"""
+
+
+def q_host_reputation(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host crawl-policy reputation table — the capstone join a crawl
+    operator actually acts on: for every host, the page count, kernel
+    quality keep rate, mojibake (encoding-damage) rate, and
+    blocklist/path-filter hit rate (each integer ppm), folded into a
+    policy tier — `blocked` (every page URL-filtered out), `quarantine`
+    (keep rate under 30% or mojibake over 20%), else `healthy`. All
+    three per-url signal stacks are the proven oracle-backed queries
+    (`pages_pipeline`, `mojibake_flags`, `url_filter`); the twin nests
+    their SQL verbatim, so the composition is exactly as trustworthy as
+    its parts (the corpus_manifest discipline, host-level).
+
+    100 TB shape: three url-keyed streams join on the at-rest bucket
+    key (Exchange-free under bucketed layout), then ONE host-keyed
+    map-side-combined rollup; tiering is per-row codegen on the
+    host-cardinality aggregate."""
+    from .queries_ref import q_url_filter
+    from .queries_web import q_mojibake_flags
+    kd = (q_pages_pipeline(spark, sf)
+          .select("url", F.col("keep").alias("q_keep")))
+    mj = (q_mojibake_flags(spark, sf)
+          .select("url", F.col("flagged").alias("mj_flag")))
+    uf = (q_url_filter(spark, sf)
+          .select("url", "host", F.col("keep").alias("u_keep")))
+    j = uf.join(kd, "url").join(mj, "url")
+    g = j.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.expr("sum(CASE WHEN q_keep THEN 1 ELSE 0 END) * 1000000"
+               " div count(*)").cast("long").alias("keep_ppm"),
+        F.expr("sum(CASE WHEN mj_flag THEN 1 ELSE 0 END) * 1000000"
+               " div count(*)").cast("long").alias("mojibake_ppm"),
+        F.expr("sum(CASE WHEN NOT u_keep THEN 1 ELSE 0 END) * 1000000"
+               " div count(*)").cast("long").alias("blocked_ppm"))
+    tier = (F.when(F.col("blocked_ppm") >= 1_000_000, F.lit("blocked"))
+            .when((F.col("keep_ppm") < 300_000)
+                  | (F.col("mojibake_ppm") >= 200_000),
+                  F.lit("quarantine"))
+            .otherwise(F.lit("healthy")))
+    return g.select("host", "n_pages", "keep_ppm", "mojibake_ppm",
+                    "blocked_ppm", tier.alias("tier"))
+
+
+def _host_reputation_sql() -> str:
+    from .queries_ref import _url_filter_sql
+    from .queries_web import _mojibake_flags_sql
+    return f"""
+SELECT host, n_pages, keep_ppm, mojibake_ppm, blocked_ppm,
+       CASE WHEN blocked_ppm >= 1000000 THEN 'blocked'
+            WHEN keep_ppm < 300000 OR mojibake_ppm >= 200000
+              THEN 'quarantine'
+            ELSE 'healthy' END AS tier
+FROM (
+  SELECT u.host, count(*)::BIGINT AS n_pages,
+         (sum(CASE WHEN q.keep THEN 1 ELSE 0 END) * 1000000
+          // count(*))::BIGINT AS keep_ppm,
+         (sum(CASE WHEN m.flagged THEN 1 ELSE 0 END) * 1000000
+          // count(*))::BIGINT AS mojibake_ppm,
+         (sum(CASE WHEN NOT u.keep THEN 1 ELSE 0 END) * 1000000
+          // count(*))::BIGINT AS blocked_ppm
+  FROM ({_url_filter_sql()}) u
+  JOIN ({_pages_pipeline_sql()}) q ON u.url = q.url
+  JOIN ({_mojibake_flags_sql()}) m ON u.url = m.url
+  GROUP BY u.host
+) h
 """
 
 
@@ -1039,6 +1133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "pages_pipeline": q_pages_pipeline,
     "lang_confusion": q_lang_confusion,
+    "host_reputation": q_host_reputation,
     "lsh_topk": q_lsh_topk,
     "rule_ablation": q_rule_ablation,
 }
@@ -1076,6 +1171,7 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_topk": _lsh_topk_sql(),
     "pages_pipeline": _pages_pipeline_sql(),
     "lang_confusion": _lang_confusion_sql(),
+    "host_reputation": _host_reputation_sql(),
     # the streaming execution of the same pipeline over the same staged
     # input must produce the same rows — identical twin by construction
     "stream_quality": _pages_pipeline_sql(),
@@ -1166,6 +1262,8 @@ _DRIVER_WINDOW = [
     # c4_line_filter rotates out (D4-green in CORRECTNESS_r04,
     # untouched since). stupid_backoff enters; corpus_datacard rotates
     # out (D4-green in CORRECTNESS_r04, untouched since).
+    # host_reputation enters; cross_snapshot_minhash rotates out
+    # (D4-green in CORRECTNESS_r04, untouched since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
@@ -1177,7 +1275,7 @@ _DRIVER_WINDOW = [
     "gopher_ngram_gates", "zorder_layout",
     "rule_ablation", "dataset_diff", "refresh_priority",
     "contrastive_pairs", "pq_topk", "jsonl_ingest",
-    "lang_confusion", "stupid_backoff",
+    "lang_confusion", "stupid_backoff", "host_reputation",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
@@ -1188,7 +1286,7 @@ _DRIVER_WINDOW = [
     "line_dedup",
     "pagerank", "boilerplate_blocks",
     "minhash_dedup", "corpus_manifest",
-    "cross_snapshot_minhash", "pack_sequences", "bpe_pair_counts",
+    "pack_sequences", "bpe_pair_counts",
     # rows-only: never driver-checked sketches (weaker rows-count check)
     # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB
     # twin by design, agreement pytest-gated; VERDICT r3 #6)
