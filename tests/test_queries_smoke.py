@@ -88,3 +88,41 @@ def test_quality_classifier_feature_count_and_sign_rule(spark):
         expect = 2 * r.n_tok - 1 if r.n_tok >= 2 else r.n_tok
         assert r.n_feats == expect, r
         assert r.keep == (r.n_feats > 0 and r.qc_score >= 0), r
+
+
+def test_stage_pages_idempotent_reuse_and_drift_restage(spark):
+    """stage_pages must REUSE a sentinel-valid stage (composition queries
+    whose sub-stacks each stage — host_reputation joins three — would
+    otherwise invalidate earlier DataFrames' captured file lists
+    mid-plan) and must RESTAGE when content drifts even at matching
+    cardinality (the ADVICE r4 #2 sentinel discipline)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ksana_corpus_builder_spark.queries import stage_pages
+    from ksana_corpus_builder_spark.sources.pages import STAGE_PATH
+
+    path = stage_pages(spark, SF)
+    parts = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    mtimes = {p: os.path.getmtime(p) for p in parts}
+    # second call: valid stage -> byte-identical reuse, no rewrite
+    assert stage_pages(spark, SF) == STAGE_PATH
+    parts2 = sorted(os.path.join(path, f) for f in os.listdir(path)
+                    if f.endswith(".parquet"))
+    assert parts2 == parts
+    assert all(os.path.getmtime(p) == mtimes[p] for p in parts)
+    # drift: corrupt the sentinel row's file (keep cardinality) -> restage
+    first = parts[0]
+    t = pq.read_table(first)
+    pdf = t.to_pandas()
+    pdf.loc[0, "text"] = "DRIFTED " + str(pdf.loc[0, "text"])
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(pdf, schema=t.schema), first)
+    assert stage_pages(spark, SF) == STAGE_PATH
+    back = pq.read_table(
+        sorted(os.path.join(path, f) for f in os.listdir(path)
+               if f.endswith(".parquet"))[0],
+        columns=["text"]).to_pandas()
+    assert not str(back.iloc[0]["text"]).startswith("DRIFTED")
