@@ -67,7 +67,7 @@ HEADLINE = (
     "gopher_ngram_gates", "zorder_layout",
     "rule_ablation", "dataset_diff", "refresh_priority",
     "contrastive_pairs", "pq_topk", "jsonl_ingest", "lang_confusion",
-    "stupid_backoff", "host_reputation",
+    "stupid_backoff", "host_reputation", "char_entropy",
 )
 
 

@@ -1263,7 +1263,9 @@ _DRIVER_WINDOW = [
     # untouched since). stupid_backoff enters; corpus_datacard rotates
     # out (D4-green in CORRECTNESS_r04, untouched since).
     # host_reputation enters; cross_snapshot_minhash rotates out
-    # (D4-green in CORRECTNESS_r04, untouched since).
+    # (D4-green in CORRECTNESS_r04, untouched since). char_entropy
+    # enters; minhash_dedup rotates out (D4-green in CORRECTNESS_r04,
+    # untouched since).
     "bpe_merges", "bpe_vocab", "bpe_encode_docs", "pack_tokens",
     "bloom_dedup", "lm_train_score", "hll_distinct", "cms_heavy_hitters",
     "anchor_texts", "robots_filter",
@@ -1276,6 +1278,7 @@ _DRIVER_WINDOW = [
     "rule_ablation", "dataset_diff", "refresh_priority",
     "contrastive_pairs", "pq_topk", "jsonl_ingest",
     "lang_confusion", "stupid_backoff", "host_reputation",
+    "char_entropy",
     "posting_stats", "book_tpos_map",
     "dedup_components",
     # (local_supplier_volume rotated out in round 4 — D3-green in r03 —
@@ -1285,7 +1288,7 @@ _DRIVER_WINDOW = [
     # round-4 additions (oracle-backed first)
     "line_dedup",
     "pagerank", "boilerplate_blocks",
-    "minhash_dedup", "corpus_manifest",
+    "corpus_manifest",
     "pack_sequences", "bpe_pair_counts",
     # rows-only: never driver-checked sketches (weaker rows-count check)
     # + the declared 10^12-doc ccnet path (percentile_approx — no DuckDB

@@ -1876,6 +1876,58 @@ FROM (
 """
 
 
+# ---------------- character-entropy junk gate
+
+_ENT_LOW6 = 2.0    # H < 2 bits/char -> repetitive/templated junk
+_ENT_HIGH6 = 5.5   # H > 5.5 bits/char -> compressed/encoded junk
+
+
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Shannon CHARACTER entropy — the cheap junk detector
+    quality pipelines run before any model-based scoring: natural text
+    sits in a narrow bits-per-char band, so very LOW entropy flags
+    repetitive/templated content and very HIGH entropy flags
+    compressed, encoded, or binary-smuggled payloads that the word
+    rules can't see. H = log2(n) - (sum c*log2 c)/n over the per-doc
+    character histogram, rounded to 6 dp before the band thresholds so
+    both engines gate identically (the repo's float discipline: one
+    rounded scalar, integer-free logs are unavoidable for entropy).
+
+    100 TB shape: ONE (doc, char) hash agg with map-side combine (the
+    alphabet bounds the per-doc key count) + one per-doc rollup — no
+    window, no broadcast, no UDF; the explode is the same Generate
+    shape the gram queries run."""
+    d = load(spark, sf, "documents")
+    t = (d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+         .where(F.col("ch") != ""))
+    per = t.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    g = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("double") * F.log2("c")).alias("sl"))
+    h = F.round(F.log2("n") - F.col("sl") / F.col("n"), 6)
+    return (g.select("doc_id", F.col("n").cast("long").alias("n_chars"),
+                     h.alias("entropy"))
+            .withColumn("flag_low", F.col("entropy") < _ENT_LOW6)
+            .withColumn("flag_high", F.col("entropy") > _ENT_HIGH6))
+
+
+_SQL_CHAR_ENTROPY = f"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+per AS (SELECT doc_id, ch, count(*) AS c
+        FROM t WHERE ch <> '' GROUP BY 1, 2),
+g AS (SELECT doc_id, sum(c)::BIGINT AS n,
+        sum(c::DOUBLE * log2(c::DOUBLE)) AS sl
+      FROM per GROUP BY 1),
+e AS (SELECT doc_id, n, round(log2(n::DOUBLE) - sl / n, 6) AS entropy
+      FROM g)
+SELECT doc_id, n AS n_chars, entropy,
+       (entropy < {_ENT_LOW6}) AS flag_low,
+       (entropy > {_ENT_HIGH6}) AS flag_high
+FROM e
+"""
+
+
 # -------------- Stupid Backoff LM scoring (Brants et al., EMNLP 2007)
 
 
@@ -2055,6 +2107,7 @@ QUERIES_WEB: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "refresh_priority": q_refresh_priority,
     "jsonl_ingest": q_jsonl_ingest,
     "stupid_backoff": q_stupid_backoff,
+    "char_entropy": q_char_entropy,
 }
 
 ORACLE_SQL_WEB: dict[str, str] = {
@@ -2083,4 +2136,5 @@ ORACLE_SQL_WEB: dict[str, str] = {
     "refresh_priority": _refresh_priority_sql(),
     "jsonl_ingest": _jsonl_ingest_sql(),
     "stupid_backoff": _SQL_STUPID_BACKOFF,
+    "char_entropy": _SQL_CHAR_ENTROPY,
 }
